@@ -1,0 +1,43 @@
+"""Test configuration.
+
+JAX-facing tests run on a virtual 8-device CPU mesh so the multi-chip
+sharding paths execute in CI without TPUs (SURVEY.md §4's strategy for the
+rebuild).  These env vars must be set before jax is first imported.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+REFERENCE_TEST_DATA = pathlib.Path("/root/reference/test_data")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture
+def ref_rgb_tif():
+    p = REFERENCE_TEST_DATA / "sample_rgb.tif"
+    if not p.exists():
+        pytest.skip("reference test data not available")
+    return p
+
+
+@pytest.fixture
+def ref_rgb_flac():
+    p = REFERENCE_TEST_DATA / "sample_rgb.flac"
+    if not p.exists():
+        pytest.skip("reference test data not available")
+    return p
