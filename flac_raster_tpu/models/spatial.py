@@ -1,0 +1,393 @@
+"""Spatial FLAC format: tiled encoding with an embedded byte-range index.
+
+Reference counterparts: ``spatial_encoder.py:34-567`` (SpatialFrame,
+SpatialIndex, SpatialFLACEncoder, SpatialFLACStreamer).  Same format on disk:
+row-major fixed-size tile grid (edge tiles clipped), each tile an independent
+complete FLAC stream, streams concatenated, index + raster metadata embedded
+as VORBIS_COMMENT of the FIRST stream (index = base64(gzip(JSON)) under
+GEOSPATIAL_SPATIAL_INDEX).
+
+Design fix (SURVEY.md Q3a): the reference records byte offsets *before*
+mutagen rewrites the first stream's header, so every offset after the first
+header is stale in real files (observable in the shipped
+``test_data/sample_dem.flac``).  Here the first tile's header is rebuilt with
+the final index plus a PADDING block sized so the header length is fixed
+*before* offsets are computed -- offsets never move, and files stay readable
+by the reference's streamer.
+
+Per-tile independent normalization (Q4) is preserved: every tile carries its
+own GEOSPATIAL_* metadata and min/max.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..io.geo import Affine, Window
+from ..io.geotiff import open_geotiff
+from ..models.flac_format import build_flac_header, parse_flac_metadata
+from ..models.metadata import pack_spatial_index, unpack_spatial_index
+from ..ops.normalization import calculate_audio_params
+
+logger = logging.getLogger("flac_raster_tpu.spatial")
+
+__all__ = [
+    "SpatialFrame",
+    "SpatialIndex",
+    "SpatialFLACEncoder",
+    "SpatialFLACStreamer",
+    "compute_tile_grid",
+    "tile_bbox",
+]
+
+METADATA_PREFETCH_BYTES = 1_048_576  # reference spatial_encoder.py:450
+
+
+class SpatialFrame:
+    """One tile: geographic bbox, pixel window, byte extent
+    (reference ``spatial_encoder.py:34-64``)."""
+
+    def __init__(
+        self,
+        frame_id: int,
+        bbox: Tuple[float, float, float, float],
+        window: Window,
+        byte_offset: int = 0,
+        byte_size: int = 0,
+    ):
+        self.frame_id = frame_id
+        self.bbox = bbox
+        self.window = window
+        self.byte_offset = byte_offset
+        self.byte_size = byte_size
+
+    def to_dict(self) -> Dict:
+        return {
+            "frame_id": self.frame_id,
+            "bbox": list(self.bbox),
+            "window": {
+                "row_off": self.window.row_off,
+                "col_off": self.window.col_off,
+                "height": self.window.height,
+                "width": self.window.width,
+            },
+            "byte_offset": self.byte_offset,
+            "byte_size": self.byte_size,
+        }
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "SpatialFrame":
+        w = d["window"]
+        return cls(
+            d["frame_id"],
+            tuple(d["bbox"]),
+            Window(w["col_off"], w["row_off"], w["width"], w["height"]),
+            d.get("byte_offset", 0),
+            d.get("byte_size", 0),
+        )
+
+
+class SpatialIndex:
+    """Tile index with bbox queries (reference ``spatial_encoder.py:67-96``)."""
+
+    def __init__(self, frames: List[SpatialFrame], crs, transform: Affine):
+        self.frames = frames
+        self.crs = crs
+        self.transform = transform
+        self.total_bytes = sum(f.byte_size for f in frames)
+
+    def query_bbox(self, bbox: Tuple[float, float, float, float]) -> List[SpatialFrame]:
+        """Strict-inequality open-interval intersection (SURVEY.md Q7)."""
+        xmin, ymin, xmax, ymax = bbox
+        out = []
+        for f in self.frames:
+            fxmin, fymin, fxmax, fymax = f.bbox
+            if xmin < fxmax and xmax > fxmin and ymin < fymax and ymax > fymin:
+                out.append(f)
+        return out
+
+    def to_dict(self) -> Dict:
+        return {
+            "crs": str(self.crs),
+            "transform": list(self.transform),
+            "frames": [f.to_dict() for f in self.frames],
+        }
+
+    @classmethod
+    def from_dict(cls, data: Dict) -> "SpatialIndex":
+        frames = [SpatialFrame.from_dict(fd) for fd in data["frames"]]
+        return cls(frames, data.get("crs"), Affine(*data["transform"]))
+
+
+def compute_tile_grid(height: int, width: int, tile_size: int) -> List[Tuple[int, int, int, int]]:
+    """Row-major (row_off, col_off, tile_h, tile_w) grid, edge tiles clipped
+    (reference ``spatial_encoder.py:110-121``)."""
+    tiles = []
+    for row_start in range(0, height, tile_size):
+        for col_start in range(0, width, tile_size):
+            tiles.append((
+                row_start,
+                col_start,
+                min(tile_size, height - row_start),
+                min(tile_size, width - col_start),
+            ))
+    return tiles
+
+
+def tile_bbox(
+    row_off: int, col_off: int, height: int, width: int, transform: Affine
+) -> Tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) of a pixel window under an affine transform
+    (reference ``spatial_encoder.py:123-131``)."""
+    xmin, ymax = transform * (col_off, row_off)
+    xmax, ymin = transform * (col_off + width, row_off + height)
+    return (xmin, ymin, xmax, ymax)
+
+
+class SpatialFLACEncoder:
+    """Tile-parallel spatial FLAC encoder.
+
+    The reference loops tiles sequentially through a temp-file pipeline
+    (``spatial_encoder.py:196-245``); here each tile is encoded in memory
+    via the converter's array entry point -- and the batched device path can
+    encode the whole tile grid concurrently (parallel.tile_engine).
+    """
+
+    def __init__(self, tile_size: int = 512, lossless: bool = True):
+        self.tile_size = tile_size
+        self.lossless = lossless
+        self.frames: List[SpatialFrame] = []
+
+    def encode_spatial_flac(
+        self,
+        tiff_path,
+        flac_path,
+        compression_level: int = 5,
+        enable_streaming: bool = True,
+    ) -> SpatialIndex:
+        from ..converter import RasterFLACConverter
+
+        tiff_path, flac_path = Path(tiff_path), Path(flac_path)
+        conv = RasterFLACConverter(lossless=self.lossless)
+        with open_geotiff(tiff_path) as src:
+            transform = src.transform
+            crs = src.crs
+            height, width = src.height, src.width
+            nodata = src.nodata
+            count = src.count
+            dtype = str(src.dtype)
+            data = src.read()
+            global_min = float(np.nanmin(data))
+            global_max = float(np.nanmax(data))
+
+        tiles = compute_tile_grid(height, width, self.tile_size)
+        logger.info("encoding %d tiles of %dx%d", len(tiles), self.tile_size, self.tile_size)
+
+        blobs: List[bytes] = []
+        self.frames = []
+        for i, (row_off, col_off, th, tw) in enumerate(tiles):
+            window = Window(col_off, row_off, tw, th)
+            bbox = tile_bbox(row_off, col_off, th, tw, transform)
+            tile_data = data[:, row_off : row_off + th, col_off : col_off + tw]
+            blob = conv.encode_array(
+                tile_data,
+                crs=crs,
+                transform=transform.translated(col_off, row_off),
+                bounds=list(bbox),
+                nodata=nodata,
+                compression_level=compression_level,
+            )
+            blobs.append(blob)
+            self.frames.append(SpatialFrame(i, bbox, window))
+
+        body = self._assemble(
+            blobs, crs, transform, height, width, count, dtype,
+            global_min, global_max, len(tiles),
+        )
+        flac_path.write_bytes(body)
+        index = SpatialIndex(self.frames, crs, transform)
+        logger.info("wrote %s: %d tiles, %d bytes", flac_path, len(tiles), len(body))
+        return index
+
+    def _assemble(
+        self, blobs, crs, transform, height, width, count, dtype,
+        global_min, global_max, num_tiles,
+    ) -> bytes:
+        """Concatenate tile streams with the index embedded in tile 0's
+        header at a *stabilized* length, so recorded offsets are final."""
+        si0, blocks0, fs0 = parse_flac_metadata(blobs[0])
+        frames0 = blobs[0][fs0:]
+        # recover tile-0 comments as an ordered single-value dict
+        from ..models.flac_format import BLOCK_VORBIS_COMMENT, parse_vorbis_comments
+
+        comments0: Dict[str, str] = {}
+        vendor = "flac-raster-tpu"
+        for b in blocks0:
+            if b.block_type == BLOCK_VORBIS_COMMENT:
+                vendor, parsed = parse_vorbis_comments(b.data)
+                comments0 = {k: v[0] for k, v in parsed.items()}
+        comments0["GEOSPATIAL_SPATIAL_TILING"] = "true"
+        comments0["GEOSPATIAL_TILE_SIZE"] = str(self.tile_size)
+        comments0["GEOSPATIAL_NUM_TILES"] = str(num_tiles)
+        # spatial files advertise the GLOBAL raster shape/range in tile 0
+        comments0["GEOSPATIAL_WIDTH"] = str(width)
+        comments0["GEOSPATIAL_HEIGHT"] = str(height)
+        comments0["GEOSPATIAL_COUNT"] = str(count)
+        comments0["GEOSPATIAL_DTYPE"] = dtype
+        comments0["GEOSPATIAL_DATA_MIN"] = repr(global_min)
+        comments0["GEOSPATIAL_DATA_MAX"] = repr(global_max)
+
+        def layout(header_len: int) -> SpatialIndex:
+            offset = 0
+            sizes = [header_len + len(frames0)] + [len(b) for b in blobs[1:]]
+            for f, size in zip(self.frames, sizes):
+                f.byte_offset = offset
+                f.byte_size = size
+                offset += size
+            return SpatialIndex(self.frames, crs, transform)
+
+        # pass 1: provisional header to learn its approximate size
+        provisional = layout(8192)
+        c = dict(comments0)
+        c["GEOSPATIAL_SPATIAL_INDEX"] = pack_spatial_index(provisional.to_dict())
+        base_len = len(build_flac_header(si0, c, vendor))
+        slack = 512
+        for _ in range(3):
+            target = base_len + slack
+            final_index = layout(target)
+            c = dict(comments0)
+            c["GEOSPATIAL_SPATIAL_INDEX"] = pack_spatial_index(final_index.to_dict())
+            core = build_flac_header(si0, c, vendor)
+            pad = target - len(core) - 4  # 4 = PADDING block header
+            if pad >= 0:
+                header0 = build_flac_header(si0, c, vendor, padding=pad)
+                assert len(header0) == target
+                return header0 + frames0 + b"".join(blobs[1:])
+            slack += 1024  # index grew past the slack; retry larger
+        raise RuntimeError("spatial index size failed to stabilize")
+
+
+class SpatialFLACStreamer:
+    """Range-request client for spatial FLAC files (local / HTTP / cloud).
+
+    Reference parity (``spatial_encoder.py:410-567``): 1 MB metadata
+    prefetch for remote files, gzip+base64 index decode, ``.spatial.json``
+    sidecar fallback, sorted+merged byte ranges, strict bbox semantics.
+    No mutagen: the embedded index is read with this framework's own FLAC
+    metadata parser.
+    """
+
+    def __init__(self, flac_path):
+        from ..io.remote import is_remote_url
+
+        self.flac_path = flac_path
+        self.is_remote = isinstance(flac_path, str) and is_remote_url(flac_path)
+        self.is_url = self.is_remote  # reference back-compat alias
+        self._remote_file = None
+        self.spatial_index = self._load_spatial_index()
+
+    def _metadata_blob(self) -> bytes:
+        if self.is_remote:
+            from ..io.remote import RemoteFile
+
+            if self._remote_file is None:
+                self._remote_file = RemoteFile(self.flac_path)
+            return self._remote_file.read_range(0, METADATA_PREFETCH_BYTES - 1)
+        return Path(self.flac_path).read_bytes()
+
+    def _load_spatial_index(self) -> SpatialIndex:
+        try:
+            blob = self._metadata_blob()
+            _, blocks, _ = parse_flac_metadata(blob)
+            from ..models.flac_format import BLOCK_VORBIS_COMMENT, parse_vorbis_comments
+
+            encoded = None
+            for b in blocks:
+                if b.block_type == BLOCK_VORBIS_COMMENT:
+                    _, comments = parse_vorbis_comments(b.data)
+                    vals = comments.get("GEOSPATIAL_SPATIAL_INDEX")
+                    if vals:
+                        encoded = vals[0]
+            if encoded is None:
+                raise ValueError("no embedded spatial index found")
+            data = unpack_spatial_index(encoded)
+        except Exception as e:  # noqa: BLE001 -- sidecar fallback, like reference
+            logger.warning("failed to read embedded metadata: %s", e)
+            index_path = Path(str(self.flac_path)).with_suffix(".spatial.json")
+            if not index_path.exists():
+                raise FileNotFoundError(
+                    f"spatial index not found in FLAC metadata or sidecar: {index_path}"
+                ) from e
+            data = json.loads(index_path.read_text())
+        return SpatialIndex.from_dict(data)
+
+    def get_byte_ranges_for_bbox(
+        self, bbox: Tuple[float, float, float, float]
+    ) -> List[Tuple[int, int]]:
+        """Inclusive byte ranges for tiles intersecting bbox, sorted and
+        merged when contiguous/overlapping (reference
+        ``spatial_encoder.py:517-539``)."""
+        ranges = [
+            (f.byte_offset, f.byte_offset + f.byte_size - 1)
+            for f in self.spatial_index.query_bbox(bbox)
+            if f.byte_size > 0
+        ]
+        ranges.sort()
+        merged: List[Tuple[int, int]] = []
+        for start, end in ranges:
+            if merged and start <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], end))
+            else:
+                merged.append((start, end))
+        return merged
+
+    def stream_bbox_data(self, bbox: Tuple[float, float, float, float]) -> bytes:
+        ranges = self.get_byte_ranges_for_bbox(bbox)
+        chunks = []
+        if self.is_remote:
+            from ..io.remote import RemoteFile
+
+            if self._remote_file is None:
+                self._remote_file = RemoteFile(self.flac_path)
+            for start, end in ranges:
+                chunks.append(self._remote_file.read_range(start, end))
+        else:
+            with open(self.flac_path, "rb") as f:
+                for start, end in ranges:
+                    f.seek(start)
+                    chunks.append(f.read(end - start + 1))
+        return b"".join(chunks)
+
+    def decode_bbox(self, bbox: Tuple[float, float, float, float]):
+        """Decode all intersecting tiles -> list of (frame, (bands,h,w) array).
+
+        New capability vs the reference (which only returns raw bytes):
+        tiles are independent FLAC streams, so they decode directly.
+        """
+        from ..converter import RasterFLACConverter
+
+        conv = RasterFLACConverter()
+        out = []
+        for f in self.spatial_index.query_bbox(bbox):
+            blob = self._read_span(f.byte_offset, f.byte_size)
+            data, meta = conv.decode_bytes(
+                blob, override_dims=(f.window.width, f.window.height)
+            )
+            out.append((f, data))
+        return out
+
+    def _read_span(self, offset: int, size: int) -> bytes:
+        if self.is_remote:
+            from ..io.remote import RemoteFile
+
+            if self._remote_file is None:
+                self._remote_file = RemoteFile(self.flac_path)
+            return self._remote_file.read_range(offset, offset + size - 1)
+        with open(self.flac_path, "rb") as f:
+            f.seek(offset)
+            return f.read(size)

@@ -1,0 +1,114 @@
+"""Converter round-trips (the reference's CI correctness gate, ci.yml:46-56)
+plus dtype breadth and reference-file interop."""
+
+import numpy as np
+import pytest
+
+from flac_raster_tpu.converter import RasterFLACConverter
+from flac_raster_tpu.io.geo import Affine
+from flac_raster_tpu.io.geotiff import open_geotiff, write_geotiff
+
+REF = "/root/reference/test_data"
+ALL_DTYPES = [np.uint8, np.int8, np.uint16, np.int16, np.uint32, np.int32,
+              np.float32, np.float64]
+
+
+def _make_tif(tmp_path, rng, dtype, bands=1, h=64, w=80, name="in.tif"):
+    if np.issubdtype(dtype, np.floating):
+        data = rng.normal(0, 1000, (bands, h, w)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        data = rng.integers(info.min, info.max, (bands, h, w), endpoint=True).astype(dtype)
+    p = tmp_path / name
+    write_geotiff(p, data, crs="EPSG:32610",
+                  transform=Affine.from_origin(500000, 4000000, 10, 10))
+    return p, data
+
+
+@pytest.mark.parametrize("dtype", ALL_DTYPES)
+def test_lossless_roundtrip_every_dtype(tmp_path, rng, dtype):
+    src, data = _make_tif(tmp_path, rng, dtype, bands=2)
+    conv = RasterFLACConverter()
+    conv.tiff_to_flac(src, tmp_path / "x.flac")
+    conv.flac_to_tiff(tmp_path / "x.flac", tmp_path / "back.tif")
+    with open_geotiff(tmp_path / "back.tif") as b:
+        back = b.read()
+        assert str(b.dtype) == str(np.dtype(dtype))
+        assert b.crs == "EPSG:32610"
+    assert np.array_equal(back.view(np.uint8), data.view(np.uint8))
+
+
+def test_minmax_mode_roundtrip(tmp_path, rng):
+    src, data = _make_tif(tmp_path, rng, np.uint8, bands=3)
+    conv = RasterFLACConverter(lossless=False)
+    conv.tiff_to_flac(src, tmp_path / "x.flac")
+    conv.flac_to_tiff(tmp_path / "x.flac", tmp_path / "back.tif")
+    assert np.array_equal(open_geotiff(tmp_path / "back.tif").read(), data)
+
+
+def test_reference_fixture_roundtrips(tmp_path):
+    import pathlib
+
+    for name in ("sample_dem.tif", "sample_rgb.tif", "sample_multispectral.tif"):
+        p = pathlib.Path(REF) / name
+        if not p.exists():
+            pytest.skip("reference data missing")
+        conv = RasterFLACConverter()
+        conv.tiff_to_flac(p, tmp_path / "x.flac")
+        conv.flac_to_tiff(tmp_path / "x.flac", tmp_path / "b.tif")
+        a, b = open_geotiff(p), open_geotiff(tmp_path / "b.tif")
+        assert np.array_equal(a.read(), b.read())
+        assert a.crs == b.crs
+        assert tuple(a.transform) == tuple(b.transform)
+
+
+def test_decode_reference_produced_flac(tmp_path):
+    """Files written by the reference toolchain (libFLAC + sidecar) decode to
+    exactly what the reference itself reconstructs."""
+    import pathlib
+    import shutil
+
+    flac = pathlib.Path(REF) / "sample_rgb.flac"
+    if not flac.exists():
+        pytest.skip("reference data missing")
+    shutil.copy(flac, tmp_path / "r.flac")
+    shutil.copy(pathlib.Path(REF) / "sample_rgb.json", tmp_path / "r.json")
+    conv = RasterFLACConverter()
+    conv.flac_to_tiff(tmp_path / "r.flac", tmp_path / "r_back.tif")
+    ref_recon = open_geotiff(pathlib.Path(REF) / "sample_rgb_reconstructed.tif").read()
+    assert np.array_equal(open_geotiff(tmp_path / "r_back.tif").read(), ref_recon)
+
+
+def test_missing_metadata_raises(tmp_path, rng):
+    from flac_raster_tpu.codec.encoder import encode_flac
+
+    blob = encode_flac(rng.integers(-5, 5, (100, 1)).astype(np.int32), 44100, 16)
+    (tmp_path / "bare.flac").write_bytes(blob)
+    conv = RasterFLACConverter()
+    with pytest.raises(ValueError, match="metadata"):
+        conv.flac_to_tiff(tmp_path / "bare.flac", tmp_path / "out.tif")
+
+
+def test_nodata_and_transform_preserved(tmp_path, rng):
+    data = rng.integers(0, 100, (1, 32, 32)).astype(np.int16)
+    t = Affine.from_origin(-105.5, 40.5, 0.001, 0.001)
+    write_geotiff(tmp_path / "n.tif", data, crs="EPSG:4326", transform=t, nodata=-32768)
+    conv = RasterFLACConverter()
+    conv.tiff_to_flac(tmp_path / "n.tif", tmp_path / "n.flac")
+    conv.flac_to_tiff(tmp_path / "n.flac", tmp_path / "n_back.tif")
+    b = open_geotiff(tmp_path / "n_back.tif")
+    assert b.nodata == -32768.0
+    assert tuple(b.transform) == tuple(t)
+
+
+def test_compare_tiffs(tmp_path, rng):
+    from flac_raster_tpu.compare import compare_tiffs, display_comparison_table
+
+    src, data = _make_tif(tmp_path, rng, np.int16, bands=3)
+    src2, _ = _make_tif(tmp_path, rng, np.int16, bands=3, name="in2.tif")
+    same = compare_tiffs(src, src)
+    assert same["arrays_equal"] and same["max_difference"] == 0.0
+    diff = compare_tiffs(src, src2)
+    assert not diff["arrays_equal"]
+    assert len(diff["bands"]) == 3
+    display_comparison_table(same)  # must not raise
