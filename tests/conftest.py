@@ -7,12 +7,20 @@ rebuild).  These env vars must be set before jax is first imported.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment pre-sets JAX_PLATFORMS=axon (real TPU tunnel,
+# slow remote compiles) and its sitecustomize imports jax at interpreter
+# start, so env vars alone are too late -- use jax.config.update, which wins
+# over the already-captured env value.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

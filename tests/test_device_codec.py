@@ -1,0 +1,180 @@
+"""Device planner (ops/device_codec) and batched encoder (codec/fast_encoder).
+
+Strategy (SURVEY.md §4 rebuild additions): property tests for bit-exact
+round-trip per signal class, cross-validation of the batched emitter against
+the scalar reference encoder, and exactness checks of every plan field
+against the trusted numpy implementations (ops/fixed, ops/lpc).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flac_raster_tpu.codec.decoder import decode_flac
+from flac_raster_tpu.codec.encoder import encode_flac
+from flac_raster_tpu.codec.fast_encoder import _utf8_tokens, encode_flac_fast
+from flac_raster_tpu.codec.encoder import _utf8_coded_number
+from flac_raster_tpu.ops.device_codec import (
+    KIND_CONSTANT,
+    KIND_FIXED,
+    KIND_LPC,
+    KIND_VERBATIM,
+    plan_blocks,
+)
+from flac_raster_tpu.ops.fixed import fixed_residual
+from flac_raster_tpu.ops.lpc import lpc_residual
+
+N = 4096
+
+
+def _plan(x, bps=16, **kw):
+    plan = plan_blocks(jnp.asarray(x.astype(np.int32)), blocksize=x.shape[1], bps=bps, **kw)
+    return {k: np.asarray(v) for k, v in plan.items()}
+
+
+@pytest.fixture(scope="module")
+def mixed_blocks(request):
+    rng = np.random.default_rng(0)
+    t = np.arange(8 * N)
+    x = (1000 * np.sin(t / 300.0) + rng.normal(0, 30, t.size)).astype(np.int32)
+    x = x.reshape(8, N)
+    x[3, :] = 42                                        # constant
+    x[4, :] = rng.integers(-32768, 32768, N)            # incompressible
+    x[5, :] = np.arange(N) - 2048                       # perfect ramp (fixed-2)
+    return x
+
+
+class TestPlanner:
+    def test_kinds_and_residual_exactness(self, mixed_blocks):
+        p = _plan(mixed_blocks)
+        assert p["kind"][3] == KIND_CONSTANT
+        assert p["kind"][4] == KIND_VERBATIM
+        assert p["subframe_bits"][3] == 8 + 16
+        assert p["subframe_bits"][4] == 8 + N * 16
+        for b in range(8):
+            o = int(p["order"][b])
+            if p["kind"][b] == KIND_FIXED:
+                ref = fixed_residual(mixed_blocks[b].astype(np.int64), o)
+                assert np.array_equal(p["residual"][b][o:], ref)
+            elif p["kind"][b] == KIND_LPC:
+                ref = lpc_residual(
+                    mixed_blocks[b].astype(np.int64),
+                    p["qcoeffs"][b][:o].astype(np.int64),
+                    int(p["shift"][b]),
+                )
+                assert np.array_equal(p["residual"][b][o:], ref)
+
+    def test_exact_bit_accounting(self, mixed_blocks):
+        """subframe_bits must equal the true emitted size, bit for bit."""
+        p = _plan(mixed_blocks)
+        for b in range(8):
+            kind = int(p["kind"][b])
+            if kind not in (KIND_FIXED, KIND_LPC):
+                continue
+            o, po, m = int(p["order"][b]), int(p["po"][b]), int(p["method"][b])
+            pbits = 4 + m
+            base = N >> po
+            r = p["residual"][b].astype(np.int64)
+            z = ((r << 1) ^ (r >> 63)).astype(np.uint64)
+            total, start = 0, o
+            for pp in range(1 << po):
+                cnt = base - o if pp == 0 else base
+                k = int(p["ks"][b][pp])
+                zp = z[start : start + cnt]
+                total += cnt * (k + 1) + int((zp >> np.uint64(k)).sum())
+                # 64-bit token-length invariant required by the packer
+                if zp.size:
+                    assert (int(zp.max()) >> k) + 1 + k <= 64
+                start += cnt
+            expect = 8 + o * 16 + 2 + 4 + pbits * (1 << po) + total
+            if kind == KIND_LPC:
+                expect += 4 + 5 + o * 15
+            assert expect == p["subframe_bits"][b]
+
+    def test_beats_or_matches_verbatim(self, mixed_blocks):
+        p = _plan(mixed_blocks)
+        assert (p["subframe_bits"] <= 8 + N * 16).all()
+
+    def test_no_lpc_config(self, mixed_blocks):
+        p = _plan(mixed_blocks, use_lpc=False)
+        assert not (p["kind"] == KIND_LPC).any()
+
+    def test_wide_residuals_24bit(self):
+        """Near-full-scale 24-bit alternation: token-length guard must hold."""
+        rng = np.random.default_rng(1)
+        x = rng.integers(-(1 << 23), 1 << 23, (2, N)).astype(np.int32)
+        x[1] = ((np.arange(N) % 2) * 2 - 1) * ((1 << 23) - 1)  # worst-case alternation
+        p = _plan(x, bps=24)
+        # must still decode: full encode round-trip is the real check
+        f = encode_flac_fast(x.reshape(-1, 1)[: 2 * N], 44100, 24, 5)
+        dec = decode_flac(f)
+        assert np.array_equal(dec.samples[:, 0].astype(np.int64), x.reshape(-1).astype(np.int64))
+
+
+class TestUtf8Vectorized:
+    def test_matches_scalar(self):
+        nums = np.array(
+            [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x10000, 0x1FFFFF,
+             0x200000, 0x3FFFFFF, 0x4000000, 0x7FFFFFFF]
+        )
+        vals, lens, nb = _utf8_tokens(nums)
+        for i, num in enumerate(nums):
+            ref = _utf8_coded_number(int(num))
+            got = [(int(vals[i, j]), int(lens[i, j])) for j in range(6) if lens[i, j]]
+            assert got == [(v & 0xFF, 8) for v, _ in ref], hex(num)
+
+
+class TestFastEncoder:
+    @pytest.mark.parametrize(
+        "name,gen,bps",
+        [
+            ("dem", lambda rng: (3000 * np.sin(np.arange(3 * N + 1000) / 500.0)
+                                 + rng.normal(0, 20, 3 * N + 1000)).astype(np.int16)[:, None], 16),
+            ("rgb3", lambda rng: np.cumsum(
+                rng.integers(-128, 128, (2 * N + 77, 3)), axis=0
+            ).clip(-30000, 30000).astype(np.int16), 16),
+            ("const", lambda rng: np.full((2 * N, 1), 1234, np.int16), 16),
+            ("tiny", lambda rng: rng.integers(-100, 100, (100, 2)).astype(np.int16), 16),
+            ("noise", lambda rng: rng.integers(-32768, 32768, (N, 1)).astype(np.int16), 16),
+            ("wide24", lambda rng: np.clip(
+                rng.normal(0, 1e5, (2 * N + 5, 2)), -(1 << 23), (1 << 23) - 1
+            ).astype(np.int32), 24),
+            ("exact_blocks", lambda rng: rng.integers(-500, 500, (2 * N, 1)).astype(np.int16), 16),
+        ],
+    )
+    def test_roundtrip_and_size_parity(self, name, gen, bps):
+        rng = np.random.default_rng(7)
+        x = gen(rng)
+        fast = encode_flac_fast(x, 44100, bps, 5)
+        dec = decode_flac(fast)
+        assert np.array_equal(dec.samples.astype(np.int64), x.astype(np.int64))
+        ref = encode_flac(x, 44100, bps, 5)
+        # same search space -> sizes within 2% + small constant of each other
+        assert len(fast) <= len(ref) * 1.02 + 256, (name, len(fast), len(ref))
+
+    def test_streaminfo_and_md5(self):
+        rng = np.random.default_rng(3)
+        x = np.cumsum(rng.integers(-5, 6, (3 * N + 11, 2)), axis=0).astype(np.int16)
+        fast = encode_flac_fast(x, 48000, 16, 5)
+        dec = decode_flac(fast)
+        assert dec.streaminfo.total_samples == x.shape[0]
+        assert dec.streaminfo.channels == 2
+        from flac_raster_tpu.codec.decoder import md5_of_samples
+        assert dec.streaminfo.md5 == md5_of_samples(x.astype(np.int32), 16)
+
+    def test_comments_survive(self):
+        x = np.zeros((N, 1), np.int16)
+        fast = encode_flac_fast(x, 44100, 16, 5, comments={"GEOSPATIAL_CRS": "EPSG:4326"})
+        dec = decode_flac(fast)
+        assert dec.comments.get("GEOSPATIAL_CRS") == ["EPSG:4326"]
+
+    def test_compression_levels(self):
+        rng = np.random.default_rng(11)
+        x = np.cumsum(rng.integers(-8, 9, (2 * N, 1)), axis=0).astype(np.int16)
+        sizes = {}
+        for level in (0, 5, 8):
+            f = encode_flac_fast(x, 44100, 16, level)
+            assert np.array_equal(decode_flac(f).samples[:, 0], x[:, 0].astype(np.int32))
+            sizes[level] = len(f)
+        assert sizes[5] <= sizes[0]
