@@ -1,0 +1,198 @@
+"""Device-resident FLAC encoder: plan + emit + pack on device, download
+only compressed words.
+
+The full-device sibling of codec/fast_encoder.py (identical output bytes,
+tested): planning (ops/device_codec) and bitstream assembly (ops/device_emit)
+run in one jit program per chunk; the host receives
+
+  * ``total_bits``  -- a scalar,
+  * ``frame_bits``  -- (F,) int32 for CRC span layout,
+  * the used prefix of the word buffer, pulled in fixed-size pages
+    (static-shape slices; the worst-case tail of the buffer never moves),
+
+then byteswaps to big-endian, patches CRC8/16 with the native C pass
+(native/bitpack.cpp), and writes STREAMINFO/metadata.  Device->host traffic
+is ~compressed_size + O(F) instead of ~2x raw (samples back + plan), which
+is the decisive win both on PCIe and on this environment's tunneled TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.flac_format import StreamInfo, build_flac_header
+from ..ops.device_emit import plan_and_emit, worst_case_words
+from .decoder import md5_of_samples
+from .encoder import (
+    _BPS_CODES,
+    _SAMPLE_RATE_CODES,
+    EncoderConfig,
+    encode_flac,
+)
+from .fast_encoder import _blocksize_header, _emit_tail_frame
+from ..ops.device_codec import MAX_DEVICE_BPS
+
+__all__ = ["encode_flac_device"]
+
+_PAGE_WORDS = 1 << 18  # 1 MB pages for device->host pulls
+
+
+def _patch_crcs(buf: np.ndarray, frame_bits: np.ndarray, hdr_bits: np.ndarray) -> None:
+    """Patch per-frame CRC8 (header) and CRC16 (frame) in place."""
+    from .. import native
+
+    frame_start = (np.cumsum(frame_bits) - frame_bits) >> 3
+    hdr_len = hdr_bits >> 3
+    fr_len = (frame_bits >> 3) - 2
+    if native.available():
+        native.crc8_patch(buf, frame_start, hdr_len)
+        native.crc16_patch(buf, frame_start, fr_len)
+        return
+    from ..ops.crc import crc16, crc8
+
+    for s, hl, fl in zip(frame_start.tolist(), hdr_len.tolist(), fr_len.tolist()):
+        buf[s + hl] = crc8(buf[s : s + hl].tobytes())
+        c = crc16(buf[s : s + fl].tobytes())
+        buf[s + fl] = c >> 8
+        buf[s + fl + 1] = c & 0xFF
+
+
+def _utf8_nbytes(fi: np.ndarray) -> np.ndarray:
+    thr = np.array([0x80, 0x800, 0x10000, 0x200000, 0x4000000], np.int64)
+    return np.sum(fi[:, None] >= thr[None, :], axis=1) + 1
+
+
+def encode_flac_device(
+    samples: np.ndarray,
+    sample_rate: int,
+    bits_per_sample: int,
+    compression_level: int = 5,
+    blocksize: int = 4096,
+    comments: dict[str, str] | None = None,
+    vendor: str = "flac-raster-tpu",
+    compute_md5: bool = True,
+    padding: int = 0,
+    plan_chunk_frames: int = 2048,
+) -> bytes:
+    """Encode int samples (n, channels) to FLAC, fully on device.
+
+    Output bytes are identical to encode_flac_fast's (same planner, same
+    layout arithmetic); only the execution placement differs.
+    """
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    if not 1 <= channels <= 8:
+        raise ValueError("FLAC supports 1..8 channels")
+    if bits_per_sample not in _BPS_CODES:
+        raise ValueError(f"unsupported bits_per_sample {bits_per_sample}")
+    n_full = n // blocksize
+    if (
+        n_full == 0
+        or bits_per_sample > MAX_DEVICE_BPS
+        or (blocksize & (blocksize - 1)) != 0
+        or blocksize % 64 != 0
+    ):
+        return encode_flac(
+            samples, sample_rate, bits_per_sample, compression_level,
+            blocksize, comments, vendor, compute_md5, padding,
+        )
+    # keep per-chunk worst-case bits < 2^31 (int32 offsets in-graph)
+    max_frames = (1 << 30) // (channels * blocksize * (bits_per_sample + 2))
+    plan_chunk_frames = max(1, min(plan_chunk_frames, max_frames))
+
+    lo = -(1 << (bits_per_sample - 1))
+    hi = (1 << (bits_per_sample - 1)) - 1
+    smp = samples.astype(np.int64, copy=False)
+    if smp.min() < lo or smp.max() > hi:
+        raise ValueError("samples exceed bits_per_sample range")
+
+    cfg = EncoderConfig.from_level(compression_level)
+    sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)
+    bps_code = _BPS_CODES[bits_per_sample]
+    bs_code, bs_tail_val, bs_tail_bits = _blocksize_header(blocksize)
+
+    full = smp[: n_full * blocksize].reshape(n_full, blocksize, channels)
+    full = np.ascontiguousarray(full.transpose(0, 2, 1)).astype(np.int32)  # (F,C,N)
+
+    static_kw = dict(
+        blocksize=blocksize,
+        bps=bits_per_sample,
+        sr_code=sr_code,
+        bps_code=bps_code,
+        bs_code=bs_code,
+        bs_tail_bits=bs_tail_bits,
+        bs_tail_val=bs_tail_val,
+        max_lpc_order=min(cfg.max_lpc_order, 8),
+        max_partition_order=min(cfg.max_partition_order, 6),
+        use_lpc=cfg.use_lpc,
+    )
+
+    chunks: list[bytes] = []
+    sizes: list[np.ndarray] = []
+    for c0 in range(0, n_full, plan_chunk_frames):
+        c1 = min(c0 + plan_chunk_frames, n_full)
+        xc = full[c0:c1]
+        Fc = c1 - c0
+        f_pad = 1 << max(0, (Fc - 1)).bit_length()
+        f_pad = min(f_pad, plan_chunk_frames)
+        if f_pad != Fc:
+            xc = np.concatenate(
+                [xc, np.zeros((f_pad - Fc, channels, blocksize), np.int32)]
+            )
+        n_words = worst_case_words(f_pad, channels, blocksize, bits_per_sample)
+        n_words = ((n_words + _PAGE_WORDS - 1) // _PAGE_WORDS) * _PAGE_WORDS
+        out = plan_and_emit(
+            jnp.asarray(xc), jnp.int32(c0), n_words=n_words, **static_kw
+        )
+        frame_bits = np.asarray(out["frame_bits"][:Fc])
+        # padded frames contribute trailing garbage words; the real chunk
+        # ends at the true frames' total bits
+        total_bits = int(frame_bits.sum())
+        n_bytes = (total_bits + 7) // 8
+        used_words = (total_bits + 31) // 32
+        words_dev = out["words"]
+        pages = []
+        for p0 in range(0, used_words, _PAGE_WORDS):
+            pages.append(np.asarray(words_dev[p0 : p0 + _PAGE_WORDS]))
+        words = np.concatenate(pages) if pages else np.zeros(0, np.uint32)
+        buf = np.frombuffer(
+            words.astype(">u4", copy=False).tobytes(), np.uint8
+        )[:n_bytes].copy()
+
+        fi = np.arange(c0, c1)
+        hdr_bits = 32 + _utf8_nbytes(fi) * 8 + bs_tail_bits
+        _patch_crcs(buf, frame_bits.astype(np.int64), hdr_bits.astype(np.int64))
+        chunks.append(buf.tobytes())
+        sizes.append((frame_bits >> 3).astype(np.int64))
+
+    if n_full * blocksize < n:
+        tail = smp[n_full * blocksize :]
+        chunks.append(
+            _emit_tail_frame(tail, n_full, bits_per_sample, sr_code, bps_code, cfg)
+        )
+        sizes.append(np.array([len(chunks[-1])], np.int64))
+
+    all_sizes = np.concatenate(sizes)
+    md5 = (
+        md5_of_samples(samples.astype(np.int32), bits_per_sample)
+        if compute_md5
+        else b"\x00" * 16
+    )
+    streaminfo = StreamInfo(
+        min_blocksize=blocksize,
+        max_blocksize=blocksize,
+        min_framesize=int(all_sizes.min()),
+        max_framesize=int(all_sizes.max()),
+        sample_rate=sample_rate,
+        channels=channels,
+        bits_per_sample=bits_per_sample,
+        total_samples=n,
+        md5=md5,
+    )
+    header = build_flac_header(streaminfo, comments, vendor, padding)
+    return bytes(header) + b"".join(chunks)

@@ -54,7 +54,7 @@ from .encoder import (
     encode_flac,
 )
 
-__all__ = ["encode_flac_fast"]
+__all__ = ["encode_flac_fast", "encode_flac_batch"]
 
 _UTF8_THRESHOLDS = np.array(
     [0x80, 0x800, 0x10000, 0x200000, 0x4000000, 0x80000000], dtype=np.int64
@@ -112,13 +112,18 @@ class _Group:
         self.l.append(np.ascontiguousarray(lengths, dtype=np.int64).ravel())
         self.o.append(np.ascontiguousarray(offsets, dtype=np.int64).ravel())
 
-    def pack(self, total_bits: int) -> bytes:
+    def pack_array(self, total_bits: int) -> np.ndarray:
+        """Pack to a mutable uint8 array (native C packer when available)."""
         v = np.concatenate(self.v)
         l = np.concatenate(self.l)
         o = np.concatenate(self.o)
         # zero-length tokens may carry garbage offsets; neutralize them
         o = np.where(l > 0, o, 0)
-        return pack_tokens(v, l, o, total_bits)
+        from .. import native
+
+        if native.available():
+            return native.pack_tokens_native(v, l, o, total_bits)
+        return np.frombuffer(pack_tokens(v, l, o, total_bits), np.uint8).copy()
 
 
 def _emit_chunk(
@@ -296,35 +301,40 @@ def _emit_chunk(
         bad = np.argwhere(np.where(is_const, 8 + bps, sf_total) != sf_expected)
         raise AssertionError(f"emitter/planner bit mismatch at {bad[:4]}")
 
-    buf = bytearray(g.pack(total_bits))
+    buf = g.pack_array(total_bits)
 
     # ---- CRC patching --------------------------------------------------------
+    from .. import native
+
     fs_byte = frame_start >> 3
     hdr_len = (hdr_bits >> 3).astype(np.int64)
+    fr_len = ((frame_bits >> 3) - 2).astype(np.int64)
+    if native.available():
+        native.crc8_patch(buf, fs_byte, hdr_len)
+        native.crc16_patch(buf, fs_byte, fr_len)
+        return buf.tobytes(), (frame_bits >> 3)
+
     hmax = int(hdr_len.max())
     hmat = np.zeros((F, hmax), np.uint8)
-    view = np.frombuffer(buf, np.uint8)
     for fidx in range(F):
         s, ln = int(fs_byte[fidx]), int(hdr_len[fidx])
-        hmat[fidx, hmax - ln :] = view[s : s + ln]
+        hmat[fidx, hmax - ln :] = buf[s : s + ln]
     h8 = crc8_rows(hmat)
     for fidx in range(F):
         buf[int(fs_byte[fidx] + hdr_len[fidx])] = int(h8[fidx])
 
-    fr_len = ((frame_bits >> 3) - 2).astype(np.int64)
     fmax = int(fr_len.max())
     fmat = np.zeros((F, fmax), np.uint8)
-    view = np.frombuffer(buf, np.uint8)
     for fidx in range(F):
         s, ln = int(fs_byte[fidx]), int(fr_len[fidx])
-        fmat[fidx, fmax - ln :] = view[s : s + ln]
+        fmat[fidx, fmax - ln :] = buf[s : s + ln]
     f16 = crc16_rows(fmat)
     for fidx in range(F):
         e = int(fs_byte[fidx] + fr_len[fidx])
         buf[e] = int(f16[fidx]) >> 8
         buf[e + 1] = int(f16[fidx]) & 0xFF
 
-    return bytes(buf), (frame_bits >> 3)
+    return buf.tobytes(), (frame_bits >> 3)
 
 
 def _emit_tail_frame(
@@ -489,3 +499,128 @@ def encode_flac_fast(
     )
     header = build_flac_header(streaminfo, comments, vendor, padding)
     return bytes(header) + b"".join(chunks)
+
+
+def encode_flac_batch(
+    samples_batch: np.ndarray,
+    sample_rate: int,
+    bits_per_sample: int,
+    compression_level: int = 5,
+    blocksize: int = 4096,
+    comments_list=None,
+    vendor: str = "flac-raster-tpu",
+    compute_md5: bool = True,
+    planner=None,
+    plan_chunk_blocks: int = 4096,
+) -> list[bytes]:
+    """Encode a batch of same-shaped streams with ONE device planning pass.
+
+    This is the tile-data-parallel entry point (SURVEY.md §2.4): all tiles'
+    blocks are planned in a single batched program (sharded across the mesh
+    by parallel/tile_engine when more than one device is visible), and only
+    the per-tile byte assembly runs on host.
+
+    Args:
+        samples_batch: (T, n, channels) int samples.
+        comments_list: optional per-tile VORBIS comment dicts (len T).
+    Returns:
+        list of T complete FLAC streams.
+    """
+    samples_batch = np.asarray(samples_batch)
+    if samples_batch.ndim == 2:
+        samples_batch = samples_batch[:, :, None]
+    T, n, channels = samples_batch.shape
+    if comments_list is None:
+        comments_list = [None] * T
+    n_full = n // blocksize
+    if (
+        T == 0
+        or n_full == 0
+        or bits_per_sample > MAX_DEVICE_BPS
+        or (blocksize & (blocksize - 1)) != 0
+        or blocksize % 64 != 0
+    ):
+        return [
+            encode_flac(
+                samples_batch[t], sample_rate, bits_per_sample,
+                compression_level, blocksize, comments_list[t], vendor,
+                compute_md5,
+            )
+            for t in range(T)
+        ]
+
+    cfg = EncoderConfig.from_level(compression_level)
+    if planner is None:
+        planner = make_planner(
+            blocksize=blocksize,
+            bps=bits_per_sample,
+            max_lpc_order=min(cfg.max_lpc_order, 8),
+            max_partition_order=min(cfg.max_partition_order, 6),
+            use_lpc=cfg.use_lpc,
+        )
+    sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)
+    bps_code = _BPS_CODES[bits_per_sample]
+
+    smp = samples_batch.astype(np.int64, copy=False)
+    full = smp[:, : n_full * blocksize].reshape(T, n_full, blocksize, channels)
+    full = np.ascontiguousarray(full.transpose(0, 1, 3, 2))  # (T, F, C, N)
+    blocks_per_tile = n_full * channels
+    all_blocks = full.reshape(T * blocks_per_tile, blocksize).astype(np.int32)
+
+    # one batched planning pass, chunked + bucketed to bound memory/compiles
+    plan_parts: dict[str, list[np.ndarray]] = {}
+    B_total = all_blocks.shape[0]
+    step = max(plan_chunk_blocks, blocks_per_tile)
+    for b0 in range(0, B_total, step):
+        b1 = min(b0 + step, B_total)
+        blocks = all_blocks[b0:b1]
+        B = blocks.shape[0]
+        b_pad = 1 << max(0, (B - 1)).bit_length()
+        if b_pad != B:
+            blocks = np.concatenate(
+                [blocks, np.zeros((b_pad - B, blocksize), np.int32)], axis=0
+            )
+        plan_dev = planner(blocks)
+        for key, val in plan_dev.items():
+            plan_parts.setdefault(key, []).append(np.asarray(val)[:B])
+    plan_all = {
+        key: np.concatenate(parts).reshape(
+            (T, n_full, channels) + parts[0].shape[1:]
+        )
+        for key, parts in plan_parts.items()
+    }
+
+    out: list[bytes] = []
+    for t in range(T):
+        plan_t = {key: val[t] for key, val in plan_all.items()}
+        data, fsizes = _emit_chunk(
+            full[t], plan_t, 0, blocksize, bits_per_sample, sr_code, bps_code
+        )
+        chunks = [data]
+        sizes = [fsizes]
+        if n_full * blocksize < n:
+            tail = smp[t, n_full * blocksize :]
+            chunks.append(
+                _emit_tail_frame(tail, n_full, bits_per_sample, sr_code, bps_code, cfg)
+            )
+            sizes.append(np.array([len(chunks[-1])], np.int64))
+        all_sizes = np.concatenate(sizes)
+        md5 = (
+            md5_of_samples(samples_batch[t].astype(np.int32), bits_per_sample)
+            if compute_md5
+            else b"\x00" * 16
+        )
+        streaminfo = StreamInfo(
+            min_blocksize=blocksize,
+            max_blocksize=blocksize,
+            min_framesize=int(all_sizes.min()),
+            max_framesize=int(all_sizes.max()),
+            sample_rate=sample_rate,
+            channels=channels,
+            bits_per_sample=bits_per_sample,
+            total_samples=n,
+            md5=md5,
+        )
+        header = build_flac_header(streaminfo, comments_list[t], vendor)
+        out.append(bytes(header) + b"".join(chunks))
+    return out

@@ -1,0 +1,130 @@
+"""Native (C++) host runtime: fast bitstream packer + CRC patcher.
+
+Compiled on first import with the system compiler and cached next to the
+source; everything degrades gracefully to the numpy implementations
+(ops/bitpack.py, ops/crc.py) when no compiler is available, so the package
+stays importable anywhere.  ctypes keeps the binding layer dependency-free
+(no pybind11 in this environment).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import sysconfig
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("flac_raster_tpu.native")
+
+__all__ = ["available", "pack_tokens_native", "crc8_patch", "crc16_patch"]
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "bitpack.cpp"
+_LIB_PATH = _HERE / "libfrtpu.so"
+_lib = None
+
+
+def _build() -> bool:
+    cxx = os.environ.get("CXX", "g++")
+    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
+           str(_SRC), "-o", str(_LIB_PATH)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as exc:  # pragma: no cover - depends on toolchain
+        logger.warning("native build failed (%s); using numpy fallback", exc)
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            _lib = False
+            return _lib
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:  # pragma: no cover
+        _lib = False
+        return _lib
+    lib.pack_tokens_c.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.crc8_patch_spans_c.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    lib.crc16_patch_spans_c.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def pack_tokens_native(
+    values: np.ndarray,
+    lengths: np.ndarray,
+    offsets: np.ndarray,
+    total_bits: int,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """Scatter-OR tokens into a zeroed byte buffer; returns uint8 array.
+
+    Single linear pass in C (vs numpy's per-element ufunc.at dispatch).
+    ``out`` may be a preallocated zeroed uint8 buffer to OR into.
+    """
+    lib = _load()
+    assert lib, "native library unavailable"
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_bytes = (int(total_bits) + 7) // 8
+    if out is None:
+        out = np.zeros(n_bytes + 8, dtype=np.uint8)  # +8 slack for 9-byte writes
+    lib.pack_tokens_c(
+        _ptr(values, ctypes.c_uint64), _ptr(lengths, ctypes.c_int64),
+        _ptr(offsets, ctypes.c_int64), len(values),
+        _ptr(out, ctypes.c_uint8), len(out),
+    )
+    return out[:n_bytes]
+
+
+def crc8_patch(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> None:
+    """For each span, write crc8(buf[start:start+len]) at buf[start+len]."""
+    lib = _load()
+    assert lib, "native library unavailable"
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    lib.crc8_patch_spans_c(
+        _ptr(buf, ctypes.c_uint8), _ptr(starts, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), len(starts),
+    )
+
+
+def crc16_patch(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> None:
+    """For each span, write big-endian crc16 at buf[start+len : start+len+2]."""
+    lib = _load()
+    assert lib, "native library unavailable"
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    lib.crc16_patch_spans_c(
+        _ptr(buf, ctypes.c_uint8), _ptr(starts, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), len(starts),
+    )

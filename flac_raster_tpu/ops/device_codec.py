@@ -299,6 +299,9 @@ def plan_blocks(
     """
     if bps > MAX_DEVICE_BPS:
         raise ValueError(f"device planner supports bps <= {MAX_DEVICE_BPS}")
+    # partition 0 must keep at least one sample after the deepest warmup
+    while (blocksize >> max_partition_order) <= max(max_lpc_order, 4):
+        max_partition_order -= 1
     x = blocks.astype(jnp.int32)
     B, N = x.shape
     assert N == blocksize

@@ -178,3 +178,66 @@ class TestFastEncoder:
             assert np.array_equal(decode_flac(f).samples[:, 0], x[:, 0].astype(np.int32))
             sizes[level] = len(f)
         assert sizes[5] <= sizes[0]
+
+
+class TestDeviceEncoder:
+    """codec/device_encoder: full on-device emission must be byte-identical
+    to the host emitter (same planner, same layout arithmetic)."""
+
+    @pytest.mark.parametrize(
+        "name,gen,bps",
+        [
+            ("dem", lambda rng: (3000 * np.sin(np.arange(3 * N + 1000) / 500.0)
+                                 + rng.normal(0, 20, 3 * N + 1000)).astype(np.int16)[:, None], 16),
+            ("rgb3", lambda rng: np.cumsum(
+                rng.integers(-128, 128, (2 * N + 77, 3)), axis=0
+            ).clip(-30000, 30000).astype(np.int16), 16),
+            ("noise", lambda rng: rng.integers(-32768, 32768, (N, 1)).astype(np.int16), 16),
+            ("wide24", lambda rng: np.clip(
+                rng.normal(0, 1e5, (2 * N + 5, 2)), -(1 << 23), (1 << 23) - 1
+            ).astype(np.int32), 24),
+        ],
+    )
+    def test_byte_identical_to_host_emitter(self, name, gen, bps):
+        from flac_raster_tpu.codec.device_encoder import encode_flac_device
+
+        rng = np.random.default_rng(7)
+        x = gen(rng)
+        dev = encode_flac_device(x, 44100, bps, 5)
+        fast = encode_flac_fast(x, 44100, bps, 5)
+        assert dev == fast
+        dec = decode_flac(dev, verify_crc=True)
+        assert np.array_equal(dec.samples.astype(np.int64), x.astype(np.int64))
+
+
+class TestNativeRuntime:
+    def test_pack_parity_with_numpy(self):
+        from flac_raster_tpu import native
+        from flac_raster_tpu.ops.bitpack import pack_tokens, token_bit_offsets
+
+        if not native.available():
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(0)
+        lengths = rng.integers(1, 65, 50000)
+        values = rng.integers(0, 2**63, 50000, dtype=np.uint64)
+        off, tot = token_bit_offsets(lengths)
+        assert pack_tokens(values, lengths, off, tot) == \
+            native.pack_tokens_native(values, lengths, off, tot).tobytes()
+
+    def test_crc_patch_parity(self):
+        from flac_raster_tpu import native
+        from flac_raster_tpu.ops.crc import crc8, crc16
+
+        if not native.available():
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(1)
+        buf = rng.integers(0, 256, 5000).astype(np.uint8)
+        ref = buf.copy()
+        starts = np.array([0, 64, 1000]); lens = np.array([10, 100, 2000])
+        native.crc8_patch(buf, starts, lens)
+        native.crc16_patch(buf, starts + 2500, lens // 2)
+        for s, l in zip(starts, lens):
+            assert buf[s + l] == crc8(ref[s:s + l].tobytes())
+        for s, l in zip(starts + 2500, lens // 2):
+            c = crc16(ref[s:s + l].tobytes())
+            assert buf[s + l] == c >> 8 and buf[s + l + 1] == (c & 0xFF)

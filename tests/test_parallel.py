@@ -1,0 +1,101 @@
+"""Mesh tile engine (parallel/) and batched tile encoding.
+
+Multi-chip paths run on the 8-device virtual CPU mesh (conftest), per
+SURVEY.md §4's strategy for testing TPU-mesh code without TPUs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flac_raster_tpu.codec.decoder import decode_flac
+from flac_raster_tpu.codec.fast_encoder import encode_flac_batch
+from flac_raster_tpu.models.flac_format import parse_flac_metadata
+from flac_raster_tpu.parallel import make_tile_step, tile_mesh
+
+N = 256  # small blocksize keeps CPU-mesh compiles quick
+
+
+@pytest.fixture(scope="module")
+def tile_pcm():
+    rng = np.random.default_rng(5)
+    T, F, C = 8, 4, 1
+    return np.cumsum(rng.integers(-8, 9, (T, F, C, N)), axis=-1).astype(np.int32)
+
+
+class TestTileStep:
+    @pytest.mark.parametrize("blocks_axis", [1, 2])
+    def test_sharded_sizes_match_emitter(self, tile_pcm, blocks_axis):
+        mesh = tile_mesh(8, blocks_axis=blocks_axis)
+        step = make_tile_step(mesh, blocksize=N, bps=16, compression_level=5)
+        tiles_dev = jax.device_put(
+            jnp.asarray(tile_pcm),
+            NamedSharding(mesh, P("tiles", "blocks", None, None)),
+        )
+        out = step(tiles_dev)
+        sizes = np.asarray(out["tile_body_bytes"])
+        offsets = np.asarray(out["offsets"])
+        assert np.array_equal(offsets, np.cumsum(sizes) - sizes)
+
+        T, F, C, _ = tile_pcm.shape
+        streams = encode_flac_batch(
+            tile_pcm.transpose(0, 1, 3, 2).reshape(T, F * N, C),
+            44100, 16, compression_level=5, blocksize=N, compute_md5=False,
+        )
+        for t, blob in enumerate(streams):
+            _, _, header_len = parse_flac_metadata(blob)
+            assert len(blob) - header_len == sizes[t]
+
+    def test_mesh_validation(self):
+        with pytest.raises(ValueError):
+            tile_mesh(1000)
+        with pytest.raises(ValueError):
+            tile_mesh(8, blocks_axis=3)
+
+
+class TestEncodeBatch:
+    def test_batch_equals_individual(self):
+        rng = np.random.default_rng(9)
+        T = 5
+        pcm = np.cumsum(rng.integers(-30, 31, (T, 2 * 4096 + 100, 2)), axis=1)
+        pcm = pcm.clip(-30000, 30000).astype(np.int16)
+        comments = [{"GEOSPATIAL_TILE": str(t)} for t in range(T)]
+        batch = encode_flac_batch(pcm, 44100, 16, 5, comments_list=comments)
+        assert len(batch) == T
+        from flac_raster_tpu.codec.fast_encoder import encode_flac_fast
+
+        for t in range(T):
+            dec = decode_flac(batch[t])
+            assert np.array_equal(dec.samples.astype(np.int64), pcm[t].astype(np.int64))
+            assert dec.comments["GEOSPATIAL_TILE"] == [str(t)]
+            solo = encode_flac_fast(
+                pcm[t], 44100, 16, 5, comments={"GEOSPATIAL_TILE": str(t)}
+            )
+            assert batch[t] == solo  # identical bytes: same plan, same layout
+
+    def test_batch_fallback_short_streams(self):
+        rng = np.random.default_rng(2)
+        pcm = rng.integers(-100, 100, (3, 500, 1)).astype(np.int16)
+        batch = encode_flac_batch(pcm, 44100, 16, 5)
+        for t in range(3):
+            dec = decode_flac(batch[t])
+            assert np.array_equal(dec.samples[:, 0].astype(np.int64), pcm[t, :, 0].astype(np.int64))
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import entry
+
+        fn, args = entry()
+        out = jax.jit(fn)(*args)
+        assert np.asarray(out["subframe_bits"]).shape == (64,)
+
+    def test_dryrun_multichip(self):
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
