@@ -48,6 +48,58 @@ __all__ = [
 METADATA_PREFETCH_BYTES = 1_048_576  # reference spatial_encoder.py:450
 
 
+def encode_tiles_batched(
+    conv,
+    data: np.ndarray,
+    tiles: List[Tuple[int, int, int, int]],
+    crs,
+    transform: Affine,
+    nodata,
+    compression_level: int,
+) -> List[bytes]:
+    """Encode a tile grid with batched device planning.
+
+    Tiles are grouped by shape (interior tiles form one large group; clipped
+    edge tiles form up to three smaller groups) and each group is encoded in
+    a single batched device pass (converter.encode_array_batch) -- the
+    tile-data-parallel replacement for the reference's sequential per-tile
+    temp-file loop (``spatial_encoder.py:196-245``).
+    """
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for i, (row_off, col_off, th, tw) in enumerate(tiles):
+        groups.setdefault((th, tw), []).append(i)
+    blobs: List[bytes | None] = [None] * len(tiles)
+    for (th, tw), members in groups.items():
+        stack = np.stack(
+            [
+                data[
+                    :,
+                    tiles[i][0] : tiles[i][0] + th,
+                    tiles[i][1] : tiles[i][1] + tw,
+                ]
+                for i in members
+            ]
+        )
+        transforms = [
+            transform.translated(tiles[i][1], tiles[i][0]) for i in members
+        ]
+        bounds_list = [
+            list(tile_bbox(tiles[i][0], tiles[i][1], th, tw, transform))
+            for i in members
+        ]
+        group_blobs = conv.encode_array_batch(
+            stack,
+            crs=crs,
+            transforms=transforms,
+            bounds_list=bounds_list,
+            nodata=nodata,
+            compression_level=compression_level,
+        )
+        for i, blob in zip(members, group_blobs):
+            blobs[i] = blob
+    return blobs  # type: ignore[return-value]
+
+
 class SpatialFrame:
     """One tile: geographic bbox, pixel window, byte extent
     (reference ``spatial_encoder.py:34-64``)."""
@@ -188,22 +240,14 @@ class SpatialFLACEncoder:
         tiles = compute_tile_grid(height, width, self.tile_size)
         logger.info("encoding %d tiles of %dx%d", len(tiles), self.tile_size, self.tile_size)
 
-        blobs: List[bytes] = []
         self.frames = []
         for i, (row_off, col_off, th, tw) in enumerate(tiles):
             window = Window(col_off, row_off, tw, th)
             bbox = tile_bbox(row_off, col_off, th, tw, transform)
-            tile_data = data[:, row_off : row_off + th, col_off : col_off + tw]
-            blob = conv.encode_array(
-                tile_data,
-                crs=crs,
-                transform=transform.translated(col_off, row_off),
-                bounds=list(bbox),
-                nodata=nodata,
-                compression_level=compression_level,
-            )
-            blobs.append(blob)
             self.frames.append(SpatialFrame(i, bbox, window))
+        blobs = encode_tiles_batched(
+            conv, data, tiles, crs, transform, nodata, compression_level
+        )
 
         body = self._assemble(
             blobs, crs, transform, height, width, count, dtype,

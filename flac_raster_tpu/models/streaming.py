@@ -95,19 +95,16 @@ def create_streaming_flac(
         nodata = src.nodata
         grid = compute_tile_grid(src.height, src.width, tile_size)
 
+    from .spatial import encode_tiles_batched
+
+    blobs = encode_tiles_batched(
+        conv, data, grid, crs, transform, nodata, compression_level
+    )
     chunks: List[bytes] = []
     total_offset = 0
     for frame_id, (row_off, col_off, th, tw) in enumerate(grid):
-        tile_data = data[:, row_off : row_off + th, col_off : col_off + tw]
         bbox = tile_bbox(row_off, col_off, th, tw, transform)
-        blob = conv.encode_array(
-            tile_data,
-            crs=crs,
-            transform=transform.translated(col_off, row_off),
-            bounds=list(bbox),
-            nodata=nodata,
-            compression_level=compression_level,
-        )
+        blob = blobs[frame_id]
         index["frames"].append({
             "frame_id": frame_id,
             "bbox": list(bbox),
