@@ -132,43 +132,61 @@ def encode_flac_device(
         use_lpc=cfg.use_lpc,
     )
 
+    # Pipeline: dispatch up to _INFLIGHT chunks ahead (jax dispatch is async),
+    # then drain results -- device compute of chunk i+1 overlaps the host's
+    # readback + CRC pass of chunk i.
+    bounds = [
+        (c0, min(c0 + plan_chunk_frames, n_full))
+        for c0 in range(0, n_full, plan_chunk_frames)
+    ]
+    inflight: list[tuple[int, int, dict]] = []
     chunks: list[bytes] = []
     sizes: list[np.ndarray] = []
-    for c0 in range(0, n_full, plan_chunk_frames):
-        c1 = min(c0 + plan_chunk_frames, n_full)
+
+    def dispatch(c0: int, c1: int) -> dict:
         xc = full[c0:c1]
         Fc = c1 - c0
-        f_pad = 1 << max(0, (Fc - 1)).bit_length()
-        f_pad = min(f_pad, plan_chunk_frames)
+        f_pad = min(1 << max(0, (Fc - 1)).bit_length(), plan_chunk_frames)
         if f_pad != Fc:
             xc = np.concatenate(
                 [xc, np.zeros((f_pad - Fc, channels, blocksize), np.int32)]
             )
         n_words = worst_case_words(f_pad, channels, blocksize, bits_per_sample)
         n_words = ((n_words + _PAGE_WORDS - 1) // _PAGE_WORDS) * _PAGE_WORDS
-        out = plan_and_emit(
+        return plan_and_emit(
             jnp.asarray(xc), jnp.int32(c0), n_words=n_words, **static_kw
         )
+
+    def drain(c0: int, c1: int, out: dict) -> None:
+        Fc = c1 - c0
         frame_bits = np.asarray(out["frame_bits"][:Fc])
-        # padded frames contribute trailing garbage words; the real chunk
-        # ends at the true frames' total bits
+        # padded frames emit past the real frames' total bits; truncate there
         total_bits = int(frame_bits.sum())
         n_bytes = (total_bits + 7) // 8
         used_words = (total_bits + 31) // 32
-        words_dev = out["words"]
-        pages = []
-        for p0 in range(0, used_words, _PAGE_WORDS):
-            pages.append(np.asarray(words_dev[p0 : p0 + _PAGE_WORDS]))
-        words = np.concatenate(pages) if pages else np.zeros(0, np.uint32)
+        # pull the used prefix in one power-of-two-sized slice (few compiled
+        # shapes, at most 2x overfetch)
+        used_pages = (used_words + _PAGE_WORDS - 1) // _PAGE_WORDS
+        n_pages = out["words"].shape[0] // _PAGE_WORDS
+        p2 = 1 << max(0, (used_pages - 1)).bit_length()
+        p2 = min(max(p2, 1), n_pages)
+        words = np.asarray(out["words"][: p2 * _PAGE_WORDS])
         buf = np.frombuffer(
             words.astype(">u4", copy=False).tobytes(), np.uint8
         )[:n_bytes].copy()
-
         fi = np.arange(c0, c1)
         hdr_bits = 32 + _utf8_nbytes(fi) * 8 + bs_tail_bits
         _patch_crcs(buf, frame_bits.astype(np.int64), hdr_bits.astype(np.int64))
         chunks.append(buf.tobytes())
         sizes.append((frame_bits >> 3).astype(np.int64))
+
+    _INFLIGHT = 3
+    for c0, c1 in bounds:
+        inflight.append((c0, c1, dispatch(c0, c1)))
+        if len(inflight) >= _INFLIGHT:
+            drain(*inflight.pop(0))
+    while inflight:
+        drain(*inflight.pop(0))
 
     if n_full * blocksize < n:
         tail = smp[n_full * blocksize :]

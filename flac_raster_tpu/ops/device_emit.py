@@ -75,13 +75,17 @@ def _scatter_tokens(words, vals, lens, offs):
     """Scatter-OR tokens (value<=32 bits) into the uint32 word buffer.
 
     Each token spans at most two words.  Disjoint bit ranges make add == or.
-    Zero-length tokens contribute 0 to word 0 (harmless).
+    Token offsets are monotone within every group (layout order), so both
+    scatter index streams are sorted -- XLA's sorted-scatter path is ~5x
+    faster on TPU than the generic one.  Zero-length tokens contribute 0.
     """
     vals = vals.ravel().astype(jnp.uint32)
     lens = lens.ravel().astype(jnp.int32)
+    # NOTE: offsets must be non-decreasing INCLUDING dead (length-0) tokens --
+    # callers clamp dead slots onto their last live neighbor; zeroing them
+    # here would break the sorted-indices promise.
     offs = offs.ravel().astype(jnp.int32)
     live = lens > 0
-    offs = jnp.where(live, offs, 0)
     mask = jnp.where(
         lens >= 32, jnp.uint32(0xFFFFFFFF),
         (jnp.uint32(1) << jnp.clip(lens, 0, 31).astype(jnp.uint32)) - jnp.uint32(1),
@@ -95,11 +99,10 @@ def _scatter_tokens(words, vals, lens, offs):
     shl = jnp.clip(sh, 0, 31).astype(jnp.uint32)
     shr = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
     c0 = jnp.where(sh >= 0, v << shl, v >> shr)
-    words = words.at[w0].add(c0, mode="drop")
-    # spillover into w0+1 (only when sh < 0)
-    spill = sh < 0
-    c1 = jnp.where(spill, v << jnp.clip(32 + sh, 0, 31).astype(jnp.uint32), jnp.uint32(0))
-    words = words.at[jnp.where(spill, w0 + 1, 0)].add(c1, mode="drop")
+    words = words.at[w0].add(c0, mode="drop", indices_are_sorted=True)
+    # spillover into w0+1 (zero when the token fits in w0; w0+1 stays sorted)
+    c1 = jnp.where(sh < 0, v << jnp.clip(32 + sh, 0, 31).astype(jnp.uint32), jnp.uint32(0))
+    words = words.at[w0 + 1].add(c1, mode="drop", indices_are_sorted=True)
     return words
 
 
@@ -230,14 +233,15 @@ def plan_and_emit(
         jnp.full((F, C), 8, jnp.int32), sf_start,
     )
 
-    # warmups
+    # warmups (dead slots clamp onto the last live one to stay sorted)
     j8 = jax.lax.broadcasted_iota(jnp.int32, (F, C, 8), 2)
     wu_used = (j8 < order[:, :, None]) & is_rice[:, :, None]
+    j8w = jnp.minimum(j8, jnp.maximum(order - 1, 0)[:, :, None])
     wu_vals = (x[:, :, :8] & bmask).astype(jnp.uint32)
     words = _scatter_tokens(
         words, jnp.where(wu_used, wu_vals, 0),
         jnp.where(wu_used, bps, 0),
-        sf_start[:, :, None] + 8 + j8 * bps,
+        sf_start[:, :, None] + 8 + j8w * bps,
     )
 
     # lpc meta
@@ -255,7 +259,7 @@ def plan_and_emit(
     words = _scatter_tokens(
         words, (qcoeffs & prec_mask[:, :, None]).astype(jnp.uint32),
         jnp.where(cf_used, precision[:, :, None], 0),
-        lpc_base[:, :, None] + 9 + j8 * precision[:, :, None],
+        lpc_base[:, :, None] + 9 + j8w * precision[:, :, None],
     )
 
     # residual method/po
@@ -287,23 +291,23 @@ def plan_and_emit(
         + jnp.where(rice_tok, pbits[:, :, None] * (part + 1), 0)
         + E
     )
-    # rice: terminator bit at base+q, remainder (k bits) at base+q+1
-    # verbatim: bps-bit value at base
-    term_v = jnp.where(rice_tok, jnp.uint32(1), (x & bmask).astype(jnp.uint32))
-    term_l = jnp.where(rice_tok, 1, jnp.where(is_verb[:, :, None], bps, 0))
-    term_o = jnp.where(rice_tok, base_off + q, base_off)
-    words = _scatter_tokens(words, term_v, term_l, term_o)
-    rem = (z & ((jnp.uint32(1) << ku) - jnp.uint32(1))).astype(jnp.uint32)
-    words = _scatter_tokens(
-        words, rem, jnp.where(rice_tok, k, 0), base_off + q + 1
-    )
+    # rice: terminator + remainder are adjacent -> ONE token per sample
+    # (1 << k) | rem with length 1 + k at bit base+q; the q unary zeros
+    # before it cost nothing (the buffer starts zeroed).
+    # verbatim: bps-bit sample value at base.
+    rem = z & ((jnp.uint32(1) << ku) - jnp.uint32(1))
+    tok_v = jnp.where(rice_tok, (jnp.uint32(1) << ku) | rem, (x & bmask).astype(jnp.uint32))
+    tok_l = jnp.where(rice_tok, 1 + k, jnp.where(is_verb[:, :, None], bps, 0))
+    tok_o = jnp.where(rice_tok, base_off + q, base_off)
+    words = _scatter_tokens(words, tok_v, tok_l, tok_o)
 
-    # rice partition parameter tokens
+    # rice partition parameter tokens (dead slots clamp to the last live one)
     p64 = jax.lax.broadcasted_iota(jnp.int32, (F, C, 64), 2)
     p_used = (p64 < (jnp.int32(1) << po)[:, :, None]) & is_rice[:, :, None]
-    sp = jnp.minimum(p64 << (log2n - po)[:, :, None], N - 1)
+    pc = jnp.minimum(p64, (jnp.int32(1) << po)[:, :, None] - 1)
+    sp = jnp.minimum(pc << (log2n - po)[:, :, None], N - 1)
     Ep = jnp.take_along_axis(E, sp, axis=2)
-    k_off = sf_start[:, :, None] + payload_base[:, :, None] + pbits[:, :, None] * p64 + Ep
+    k_off = sf_start[:, :, None] + payload_base[:, :, None] + pbits[:, :, None] * pc + Ep
     words = _scatter_tokens(
         words, ks.astype(jnp.uint32), jnp.where(p_used, pbits[:, :, None], 0), k_off
     )
