@@ -143,21 +143,27 @@ class RasterFLACConverter:
         This is the array-level entry point the tile engine batches over;
         ``tiff_to_flac`` is a thin file wrapper around it.
         """
+        from .utils.profiling import StageTimer
+
+        timer = StageTimer(enabled=logger.isEnabledFor(logging.DEBUG))
         if data.ndim == 2:
             data = data[None]
         count, height, width = data.shape
-        interleaved, bands = _interleave(data)
+        with timer.stage("interleave", data.nbytes):
+            interleaved, bands = _interleave(data)
         sample_rate, ref_bps = calculate_audio_params(data, data.dtype)
 
-        if self.lossless:
-            audio, params = normalize_lossless(interleaved)
-            flac_bps = params.bits_per_sample
-        else:
-            audio, params = normalize_to_audio(interleaved, ref_bps)
-            # the reference's "24-bit" files are really 32 bps (pyflac override,
-            # SURVEY.md Q2) -- match that so its tooling can read our files
-            flac_bps = 16 if params.bits_per_sample == 16 else 32
-            audio = audio.astype(np.int32)
+        with timer.stage("normalize", data.nbytes):
+            if self.lossless:
+                audio, params = normalize_lossless(interleaved)
+                flac_bps = params.bits_per_sample
+            else:
+                audio, params = normalize_to_audio(interleaved, ref_bps)
+                # the reference's "24-bit" files are really 32 bps (pyflac
+                # override, SURVEY.md Q2) -- match that so its tooling can
+                # read our files
+                flac_bps = 16 if params.bits_per_sample == 16 else 32
+                audio = audio.astype(np.int32)
 
         channels = audio.shape[1]
         if channels > 8:
@@ -182,14 +188,17 @@ class RasterFLACConverter:
         )
         if extra_comments:
             comments.update(extra_comments)
-        return _best_encoder()(
-            audio.astype(np.int32),
-            sample_rate,
-            flac_bps,
-            compression_level=compression_level,
-            comments=comments,
-            compute_md5=self.compute_md5,
-        )
+        with timer.stage("encode", data.nbytes):
+            blob = _best_encoder()(
+                audio.astype(np.int32),
+                sample_rate,
+                flac_bps,
+                compression_level=compression_level,
+                comments=comments,
+                compute_md5=self.compute_md5,
+            )
+        timer.report(logging.DEBUG)
+        return blob
 
     def encode_array_batch(
         self,
