@@ -100,6 +100,32 @@ def _read_coded_number(br: BitReader) -> int:
     return val
 
 
+class _LazyBits:
+    """Unpacked bit array computed on first use (the native decode path
+    never needs it; the numpy fallback and verbatim reads do)."""
+
+    def __init__(self, arr: np.ndarray):
+        self._arr = arr
+        self._bits: np.ndarray | None = None
+
+    def get(self) -> np.ndarray:
+        if self._bits is None:
+            self._bits = bits_of(self._arr)
+        return self._bits
+
+
+class _LazyOnes:
+    def __init__(self, arr: np.ndarray):
+        self._arr = arr
+        self._ones: np.ndarray | None = None
+        self._bits_src: _LazyBits | None = None
+
+    def get(self, bits: "_LazyBits") -> np.ndarray:
+        if self._ones is None:
+            self._ones = np.flatnonzero(bits.get()).astype(np.int64)
+        return self._ones
+
+
 def _parse_subframe(
     br: BitReader,
     bits: np.ndarray,
@@ -119,7 +145,13 @@ def _parse_subframe(
         return _Subframe("constant", 0, wasted, None, None, None, 0, n,
                          value=br.read_sint(ebps))
     if sf_type == 1:
-        vals = np.array([br.read_sint(ebps) for _ in range(n)], dtype=np.int64)
+        from ..ops.bitpack import read_kbits_at
+
+        pos = br.bit_pos + np.arange(n, dtype=np.int64) * ebps
+        vals = read_kbits_at(bits.get(), pos, ebps)
+        sign = np.int64(1) << (ebps - 1)
+        vals = (vals ^ sign) - sign
+        br.seek_bits(br.bit_pos + n * ebps)
         return _Subframe("verbatim", 0, wasted, None, None, None, 0, n, verbatim=vals)
     if 8 <= sf_type <= 12:
         order = sf_type - 8
@@ -142,6 +174,15 @@ def _parse_subframe(
 def _parse_residual(
     br: BitReader, bits: np.ndarray, ones: np.ndarray, blocksize: int, order: int
 ) -> np.ndarray:
+    from .. import native
+
+    if native.available():
+        # native sequential hot loop (plays libFLAC's role, SURVEY.md §2.2);
+        # the vectorized numpy path below is the no-toolchain fallback and
+        # stays the reference implementation for tests
+        res, end = native.decode_residual(br._bytes, br.bit_pos, blocksize, order)
+        br.seek_bits(end)
+        return res
     method = br.read_uint(2)
     if method > 1:
         raise ValueError(f"reserved residual coding method {method}")
@@ -164,13 +205,13 @@ def _parse_residual(
                 from ..ops.bitpack import read_kbits_at
 
                 pos = br.bit_pos + np.arange(count, dtype=np.int64) * raw
-                vals = read_kbits_at(bits, pos, raw)
+                vals = read_kbits_at(bits.get(), pos, raw)
                 sign = np.int64(1) << (raw - 1)
                 vals = (vals ^ sign) - sign
                 chunks.append(vals)
                 br.seek_bits(br.bit_pos + count * raw)
         else:
-            vals, end_bit = decode_rice_vectorized(bits, br.bit_pos, count, k, ones)
+            vals, end_bit = decode_rice_vectorized(bits.get(), br.bit_pos, count, k, ones.get(bits))
             chunks.append(vals)
             br.seek_bits(end_bit)
     return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
@@ -195,8 +236,7 @@ def decode_flac(
             vendor, comments = parse_vorbis_comments(b.data)
 
     arr = np.frombuffer(buf, dtype=np.uint8)
-    bits = bits_of(arr)
-    ones = np.flatnonzero(bits).astype(np.int64)
+    bits, ones = _LazyBits(arr), _LazyOnes(arr)
 
     br = BitReader(arr, frame_start * 8)
     frames: list[tuple[int, list[_Subframe], int]] = []  # (blocksize, subframes, chan_code)
@@ -268,7 +308,18 @@ def decode_flac(
         frame_end_byte = br.bit_pos >> 3
         crc16_expect = br.read_uint(16)
         if verify_crc:
-            got16 = crc16(arr[hdr_start_byte:frame_end_byte])
+            from .. import native
+
+            if native.available():
+                got16 = int(
+                    native.crc16_spans(
+                        arr,
+                        np.array([hdr_start_byte]),
+                        np.array([frame_end_byte - hdr_start_byte]),
+                    )[0]
+                )
+            else:
+                got16 = crc16(arr[hdr_start_byte:frame_end_byte])
             if got16 != crc16_expect:
                 raise ValueError(f"frame CRC-16 mismatch at byte {hdr_start_byte}")
         frames.append((blocksize, subframes, chan_code))
@@ -327,7 +378,12 @@ def _restore_all(frames, out: np.ndarray) -> None:
                 co[i] = sf.qcoeffs
                 sh[i] = sf.shift
                 lens[i] = sf.n
-            sigs = lpc_restore_batch(warm, res, co, sh, lens)
+            from .. import native
+
+            if native.available():
+                sigs = native.lpc_restore(warm, res, co, sh)
+            else:
+                sigs = lpc_restore_batch(warm, res, co, sh, lens)
             for i, (fi, ci, sf) in enumerate(jobs):
                 sig = sigs[i, : sf.n]
                 if sf.wasted:

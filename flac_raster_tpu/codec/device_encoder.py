@@ -18,7 +18,12 @@ is the decisive win both on PCIe and on this environment's tunneled TPU.
 
 from __future__ import annotations
 
+import logging
+import time
+
 import numpy as np
+
+logger = logging.getLogger("flac_raster_tpu.device_encoder")
 
 import jax
 import jax.numpy as jnp
@@ -143,7 +148,10 @@ def encode_flac_device(
     chunks: list[bytes] = []
     sizes: list[np.ndarray] = []
 
+    debug = logger.isEnabledFor(logging.DEBUG)
+
     def dispatch(c0: int, c1: int) -> dict:
+        t0 = time.perf_counter() if debug else 0.0
         xc = full[c0:c1]
         Fc = c1 - c0
         f_pad = min(1 << max(0, (Fc - 1)).bit_length(), plan_chunk_frames)
@@ -153,13 +161,18 @@ def encode_flac_device(
             )
         n_words = worst_case_words(f_pad, channels, blocksize, bits_per_sample)
         n_words = ((n_words + _PAGE_WORDS - 1) // _PAGE_WORDS) * _PAGE_WORDS
-        return plan_and_emit(
+        out = plan_and_emit(
             jnp.asarray(xc), jnp.int32(c0), n_words=n_words, **static_kw
         )
+        if debug:
+            logger.debug("dispatch f%d..%d: %.3fs", c0, c1, time.perf_counter() - t0)
+        return out
 
     def drain(c0: int, c1: int, out: dict) -> None:
+        t0 = time.perf_counter() if debug else 0.0
         Fc = c1 - c0
         frame_bits = np.asarray(out["frame_bits"][:Fc])
+        t1 = time.perf_counter() if debug else 0.0
         # padded frames emit past the real frames' total bits; truncate there
         total_bits = int(frame_bits.sum())
         n_bytes = (total_bits + 7) // 8
@@ -171,6 +184,11 @@ def encode_flac_device(
         p2 = 1 << max(0, (used_pages - 1)).bit_length()
         p2 = min(max(p2, 1), n_pages)
         words = np.asarray(out["words"][: p2 * _PAGE_WORDS])
+        if debug:
+            logger.debug(
+                "drain f%d..%d: sync %.3fs, pull %.3fs (%.1f MB)",
+                c0, c1, t1 - t0, time.perf_counter() - t1, p2 * _PAGE_WORDS * 4 / 1e6,
+            )
         buf = np.frombuffer(
             words.astype(">u4", copy=False).tobytes(), np.uint8
         )[:n_bytes].copy()

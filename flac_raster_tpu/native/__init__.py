@@ -20,7 +20,14 @@ import numpy as np
 
 logger = logging.getLogger("flac_raster_tpu.native")
 
-__all__ = ["available", "pack_tokens_native", "crc8_patch", "crc16_patch"]
+__all__ = [
+    "available",
+    "pack_tokens_native",
+    "crc8_patch",
+    "crc16_patch",
+    "decode_residual",
+    "crc16_spans",
+]
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "bitpack.cpp"
@@ -65,6 +72,22 @@ def _load():
     lib.crc16_patch_spans_c.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    lib.decode_residual_c.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.decode_residual_c.restype = ctypes.c_int64
+    lib.crc16_spans_check_c.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
+    lib.lpc_restore_c.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
     return _lib
@@ -128,3 +151,65 @@ def crc16_patch(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> None:
         _ptr(buf, ctypes.c_uint8), _ptr(starts, ctypes.c_int64),
         _ptr(lens, ctypes.c_int64), len(starts),
     )
+
+
+def decode_residual(
+    buf: np.ndarray, bit_pos: int, blocksize: int, order: int
+) -> tuple[np.ndarray, int]:
+    """Decode one subframe's full residual section (native sequential loop).
+
+    Args:
+        buf: uint8 array of the whole stream.
+        bit_pos: absolute bit offset of the residual coding method field.
+    Returns:
+        (residuals int64 (blocksize-order,), new absolute bit offset)
+    Raises:
+        ValueError on malformed/truncated input.
+    """
+    lib = _load()
+    assert lib, "native library unavailable"
+    out = np.empty(blocksize - order, dtype=np.int64)
+    end = lib.decode_residual_c(
+        _ptr(buf, ctypes.c_uint8), buf.size * 8, bit_pos,
+        blocksize, order, _ptr(out, ctypes.c_int64),
+    )
+    if end < 0:
+        raise ValueError(
+            "corrupt Rice stream"
+            if end == -2
+            else "invalid residual coding parameters"
+        )
+    return out, int(end)
+
+
+def crc16_spans(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """CRC-16 of each span (verification side; no patching)."""
+    lib = _load()
+    assert lib, "native library unavailable"
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    out = np.empty(len(starts), dtype=np.uint16)
+    lib.crc16_spans_check_c(
+        _ptr(buf, ctypes.c_uint8), _ptr(starts, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), len(starts), _ptr(out, ctypes.c_uint16),
+    )
+    return out
+
+
+def lpc_restore(warmups, residuals, qcoeffs, shifts):
+    """Batched native LPC restore; mirrors ops/lpc.lpc_restore_batch."""
+    lib = _load()
+    assert lib, "native library unavailable"
+    warmups = np.ascontiguousarray(warmups, dtype=np.int64)
+    residuals = np.ascontiguousarray(residuals, dtype=np.int64)
+    qcoeffs = np.ascontiguousarray(qcoeffs, dtype=np.int64)
+    shifts = np.ascontiguousarray(shifts, dtype=np.int64)
+    b, order = warmups.shape
+    max_len = order + residuals.shape[1]
+    out = np.empty((b, max_len), dtype=np.int64)
+    lib.lpc_restore_c(
+        _ptr(warmups, ctypes.c_int64), _ptr(residuals, ctypes.c_int64),
+        _ptr(qcoeffs, ctypes.c_int64), _ptr(shifts, ctypes.c_int64),
+        b, order, max_len, _ptr(out, ctypes.c_int64),
+    )
+    return out
