@@ -148,6 +148,10 @@ def encode_flac_device(
     chunks: list[bytes] = []
     sizes: list[np.ndarray] = []
 
+    from ..utils.profiling import restore_cpu_affinity, tame_device_client_threads
+
+    restore_cpu_affinity()
+    tame_device_client_threads()
     debug = logger.isEnabledFor(logging.DEBUG)
 
     def dispatch(c0: int, c1: int) -> dict:

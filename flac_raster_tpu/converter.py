@@ -143,8 +143,14 @@ class RasterFLACConverter:
         This is the array-level entry point the tile engine batches over;
         ``tiff_to_flac`` is a thin file wrapper around it.
         """
-        from .utils.profiling import StageTimer
+        from .utils.profiling import (
+            StageTimer,
+            restore_cpu_affinity,
+            tame_device_client_threads,
+        )
 
+        restore_cpu_affinity()
+        tame_device_client_threads()
         timer = StageTimer(enabled=logger.isEnabledFor(logging.DEBUG))
         if data.ndim == 2:
             data = data[None]

@@ -111,3 +111,73 @@ def timed_stage(name: str, nbytes: int = 0, level: int = logging.DEBUG):
             logger.log(level, "%s: %.3fs (%.1f MB/s)", name, dt, nbytes / 1e6 / max(dt, 1e-9))
         else:
             logger.log(level, "%s: %.3fs", name, dt)
+
+
+def restore_cpu_affinity() -> int:
+    """Undo the axon TPU client's 1-core CPU pinning.
+
+    The tunneled-TPU PJRT plugin pins the whole process to a single core at
+    init (observed: ``len(os.sched_getaffinity(0)) == 1`` after first device
+    use), which slows every host-side numpy stage 5-20x.  Called at the top
+    of the hot host entry points; a no-op elsewhere.  Returns the number of
+    usable CPUs afterwards.
+    """
+    import os
+
+    try:
+        have = os.sched_getaffinity(0)
+        total = os.cpu_count() or 1
+        if len(have) < total:
+            os.sched_setaffinity(0, range(total))
+            logger.debug("restored CPU affinity: %d -> %d cores", len(have), total)
+        return len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # pragma: no cover - non-Linux
+        return 1
+
+
+_tamed = False
+
+
+def tame_device_client_threads() -> int:
+    """Deprioritize the TPU client's busy-polling threads on tiny hosts.
+
+    The tunneled-TPU (axon) PJRT client spins several threads that saturate
+    the core even while the device is idle; on a 1-CPU container that slows
+    every host numpy stage 10-100x (measured: 0.4s -> 69s for one normalize
+    pass).  Renicing those threads to 19 restores host throughput while the
+    spinners still get the core whenever Python blocks on a transfer.
+
+    Only applied once, and only when the host has a single CPU and a
+    non-CPU jax backend is active -- on real multi-core hosts the client
+    threads are harmless.  Returns the number of threads reniced.
+    """
+    global _tamed
+    if _tamed:
+        return 0
+    import os
+
+    try:
+        if (os.cpu_count() or 1) > 1:
+            return 0
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return 0
+        import threading
+
+        me = threading.get_native_id()
+        n = 0
+        for tid_s in os.listdir("/proc/self/task"):
+            tid = int(tid_s)
+            if tid != me:
+                try:
+                    os.setpriority(os.PRIO_PROCESS, tid, 19)
+                    n += 1
+                except OSError:
+                    pass
+        _tamed = True
+        if n:
+            logger.debug("reniced %d device-client threads to 19", n)
+        return n
+    except Exception:  # pragma: no cover - scheduling is best-effort
+        return 0
