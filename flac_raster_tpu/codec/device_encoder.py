@@ -173,6 +173,7 @@ def encode_flac_device(
         return out
 
     def drain(c0: int, c1: int, out: dict) -> None:
+        tame_device_client_threads()  # client threads spawn lazily
         t0 = time.perf_counter() if debug else 0.0
         Fc = c1 - c0
         frame_bits = np.asarray(out["frame_bits"][:Fc])
