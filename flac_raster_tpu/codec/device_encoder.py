@@ -81,11 +81,19 @@ def encode_flac_device(
     compute_md5: bool = True,
     padding: int = 0,
     plan_chunk_frames: int = 2048,
+    zero_point: int = 0,
 ) -> bytes:
     """Encode int samples (n, channels) to FLAC, fully on device.
 
     Output bytes are identical to encode_flac_fast's (same planner, same
     layout arithmetic); only the execution placement differs.
+
+    Args:
+        zero_point: when nonzero (or when samples have a narrow unsigned
+            dtype), the lossless shift normalization runs IN-GRAPH -- pass
+            raw uint16/uint8/int16/int8 rasters directly and halve the
+            host->device upload.  samples - zero_point must fit
+            bits_per_sample.
     """
     samples = np.asarray(samples)
     if samples.ndim == 1:
@@ -102,8 +110,11 @@ def encode_flac_device(
         or (blocksize & (blocksize - 1)) != 0
         or blocksize % 64 != 0
     ):
+        host_samples = (
+            samples.astype(np.int64) - zero_point if zero_point else samples
+        )
         return encode_flac(
-            samples, sample_rate, bits_per_sample, compression_level,
+            host_samples, sample_rate, bits_per_sample, compression_level,
             blocksize, comments, vendor, compute_md5, padding,
         )
     # keep per-chunk worst-case bits < 2^31 (int32 offsets in-graph)
@@ -112,9 +123,16 @@ def encode_flac_device(
 
     lo = -(1 << (bits_per_sample - 1))
     hi = (1 << (bits_per_sample - 1)) - 1
-    smp = samples.astype(np.int64, copy=False)
-    if smp.min() < lo or smp.max() > hi:
-        raise ValueError("samples exceed bits_per_sample range")
+    if zero_point or samples.dtype != np.int32:
+        # dtype-guaranteed range under the shift map: check the endpoints
+        info = np.iinfo(samples.dtype)
+        if info.min - zero_point < lo or info.max - zero_point > hi:
+            raise ValueError("dtype range exceeds bits_per_sample under zero_point")
+        smp = samples
+    else:
+        smp = samples
+        if smp.min() < lo or smp.max() > hi:
+            raise ValueError("samples exceed bits_per_sample range")
 
     cfg = EncoderConfig.from_level(compression_level)
     sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)
@@ -122,7 +140,7 @@ def encode_flac_device(
     bs_code, bs_tail_val, bs_tail_bits = _blocksize_header(blocksize)
 
     full = smp[: n_full * blocksize].reshape(n_full, blocksize, channels)
-    full = np.ascontiguousarray(full.transpose(0, 2, 1)).astype(np.int32)  # (F,C,N)
+    full = np.ascontiguousarray(full.transpose(0, 2, 1))  # (F,C,N) int32
 
     static_kw = dict(
         blocksize=blocksize,
@@ -166,7 +184,8 @@ def encode_flac_device(
         n_words = worst_case_words(f_pad, channels, blocksize, bits_per_sample)
         n_words = ((n_words + _PAGE_WORDS - 1) // _PAGE_WORDS) * _PAGE_WORDS
         out = plan_and_emit(
-            jnp.asarray(xc), jnp.int32(c0), n_words=n_words, **static_kw
+            jnp.asarray(xc), jnp.int32(c0), n_words=n_words,
+            zero_point=zero_point, **static_kw
         )
         if debug:
             logger.debug("dispatch f%d..%d: %.3fs", c0, c1, time.perf_counter() - t0)
@@ -212,7 +231,7 @@ def encode_flac_device(
         drain(*inflight.pop(0))
 
     if n_full * blocksize < n:
-        tail = smp[n_full * blocksize :]
+        tail = smp[n_full * blocksize :].astype(np.int64) - zero_point
         chunks.append(
             _emit_tail_frame(tail, n_full, bits_per_sample, sr_code, bps_code, cfg)
         )
@@ -220,7 +239,7 @@ def encode_flac_device(
 
     all_sizes = np.concatenate(sizes)
     md5 = (
-        md5_of_samples(samples.astype(np.int32), bits_per_sample)
+        md5_of_samples(samples.astype(np.int64) - zero_point, bits_per_sample)
         if compute_md5
         else b"\x00" * 16
     )

@@ -159,6 +159,44 @@ class RasterFLACConverter:
             interleaved, bands = _interleave(data)
         sample_rate, ref_bps = calculate_audio_params(data, data.dtype)
 
+        # Fast lane: integer dtypes on an accelerator normalize IN-GRAPH
+        # (ops/device_emit zero_point prologue) -- raw samples upload
+        # directly, no host normalization pass, half the transfer bytes.
+        from .ops.normalization import _SHIFT_SPECS
+
+        if (
+            self.lossless
+            and np.dtype(data.dtype) in _SHIFT_SPECS
+            and _SHIFT_SPECS[np.dtype(data.dtype)][0] <= 26
+            and _best_encoder() is encode_flac_device
+        ):
+            bps, zero = _SHIFT_SPECS[np.dtype(data.dtype)]
+            with timer.stage("stats", data.nbytes):
+                params = NormalizationParams(
+                    data_min=float(data.min()), data_max=float(data.max()),
+                    original_dtype=str(np.dtype(data.dtype)),
+                    bits_per_sample=bps, scale_factor=1, mode="shift",
+                    zero_point=zero,
+                )
+            comments = build_geospatial_comments(
+                crs=crs, width=width, height=height, count=count,
+                dtype=str(data.dtype), transform=transform,
+                bounds=bounds if bounds is not None else [],
+                data_min=params.data_min, data_max=params.data_max,
+                nodata=nodata, norm_params=params,
+            )
+            if extra_comments:
+                comments.update(extra_comments)
+            sample_rate_, _ = calculate_audio_params(data, data.dtype)
+            with timer.stage("encode", data.nbytes):
+                blob = encode_flac_device(
+                    interleaved, sample_rate_, bps,
+                    compression_level=compression_level, comments=comments,
+                    compute_md5=self.compute_md5, zero_point=zero,
+                )
+            timer.report(logging.DEBUG)
+            return blob
+
         with timer.stage("normalize", data.nbytes):
             if self.lossless:
                 audio, params = normalize_lossless(interleaved)
