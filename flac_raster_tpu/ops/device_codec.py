@@ -78,6 +78,21 @@ KIND_LPC = 3
 MAX_ORDER_SLOTS = 8    # warmup/coeff array width in the plan
 PART_SLOTS = 64        # ks array width (max partition order 6 -> 64 parts)
 
+# test hook: run the Pallas rice-cost kernel in interpreter mode on CPU
+FORCE_PALLAS_INTERPRET = False
+
+
+def _use_pallas() -> bool:
+    """Trace-time backend switch for the Pallas rice-cost kernel."""
+    if FORCE_PALLAS_INTERPRET:
+        return True
+    try:
+        import jax as _jax
+
+        return _jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
 
 def _tukey_window(n: int, alpha: float = 0.5) -> np.ndarray:
     """Host-precomputed tukey(0.5) window (float32 constant on device)."""
@@ -140,7 +155,8 @@ def _rice_search(z, order, blocksize, max_po, idx):
     z = jnp.where(mask, z, jnp.uint32(0))
 
     zr = z.reshape(B, parts, base)
-    zmax = zr.max(axis=-1)  # (B, parts) uint32 (kept unsigned: z may exceed 2^31)
+    if not _use_pallas():
+        zmax = zr.max(axis=-1)  # (B, parts) uint32 (unsigned: z may exceed 2^31)
     # Per-partition sample counts (partition 0 loses the warmup samples).
     counts = np.full(parts, base, np.int32)
     counts[0] = base - order
@@ -148,11 +164,20 @@ def _rice_search(z, order, blocksize, max_po, idx):
 
     ks = np.arange(KMAX + 1, dtype=np.int32)
     # cost[b, k, p] = sum over partition of min(z >> k, QCLAMP) + cnt*(k+1)
-    sums = []
-    for k in range(KMAX + 1):
-        q = jnp.minimum((zr >> jnp.uint32(k)).astype(jnp.int32), _QCLAMP)
-        sums.append(q.sum(axis=-1))
-    cost = jnp.stack(sums, axis=1)  # (B, K+1, parts)
+    if _use_pallas():
+        # one-pass Pallas kernel: block loaded into VMEM once, all 21
+        # shifted sums + maxima computed from registers
+        from .pallas_kernels import rice_cost_sums
+
+        cost, zmax = rice_cost_sums(
+            z, parts=parts, interpret=FORCE_PALLAS_INTERPRET
+        )
+    else:
+        sums = []
+        for k in range(KMAX + 1):
+            q = jnp.minimum((zr >> jnp.uint32(k)).astype(jnp.int32), _QCLAMP)
+            sums.append(q.sum(axis=-1))
+        cost = jnp.stack(sums, axis=1)  # (B, K+1, parts)
     cost = cost + counts_l[None, None, :] * (jnp.asarray(ks)[None, :, None] + 1)
     # validity: every token in the partition fits in 64 bits (uint32 math --
     # zmax can exceed int32 range for wide LPC residuals)

@@ -241,3 +241,32 @@ class TestNativeRuntime:
         for s, l in zip(starts + 2500, lens // 2):
             c = crc16(ref[s:s + l].tobytes())
             assert buf[s + l] == c >> 8 and buf[s + l + 1] == (c & 0xFF)
+
+
+class TestPallasKernels:
+    def test_rice_cost_kernel_parity(self, rng):
+        """Pallas kernel (interpret mode) == numpy reference, all k."""
+        from flac_raster_tpu.ops.pallas_kernels import KMAX_KERNEL, rice_cost_sums
+
+        z = rng.integers(0, 1 << 20, (16, N)).astype(np.uint32)
+        sums, zmax = rice_cost_sums(jnp.asarray(z), interpret=True)
+        sums, zmax = np.asarray(sums), np.asarray(zmax)
+        zp = z.reshape(16, 64, 64)
+        assert np.array_equal(zmax, zp.max(-1))
+        for k in range(KMAX_KERNEL + 1):
+            ref = np.minimum(zp >> np.uint32(k), 1 << 17).astype(np.int64).sum(-1)
+            assert np.array_equal(sums[:, k, :], ref), k
+
+    def test_planner_identical_with_pallas_path(self, mixed_blocks):
+        from flac_raster_tpu.ops import device_codec as dc
+
+        p_ref = _plan(mixed_blocks)
+        dc.FORCE_PALLAS_INTERPRET = True
+        dc.plan_blocks.clear_cache()
+        try:
+            p_pal = _plan(mixed_blocks)
+        finally:
+            dc.FORCE_PALLAS_INTERPRET = False
+            dc.plan_blocks.clear_cache()
+        for key in p_ref:
+            assert np.array_equal(p_ref[key], p_pal[key]), key
