@@ -175,7 +175,8 @@ def _rice_search(z, order, blocksize, max_po, idx):
     else:
         sums = []
         for k in range(KMAX + 1):
-            q = jnp.minimum((zr >> jnp.uint32(k)).astype(jnp.int32), _QCLAMP)
+            # clamp in uint32 first: values can exceed int32 range
+            q = jnp.minimum(zr >> jnp.uint32(k), jnp.uint32(_QCLAMP)).astype(jnp.int32)
             sums.append(q.sum(axis=-1))
         cost = jnp.stack(sums, axis=1)  # (B, K+1, parts)
     cost = cost + counts_l[None, None, :] * (jnp.asarray(ks)[None, :, None] + 1)

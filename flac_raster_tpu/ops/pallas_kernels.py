@@ -33,20 +33,27 @@ KMAX_KERNEL = 20
 _QCLAMP = 1 << 17
 
 
-def _rice_cost_kernel(z_ref, sums_ref, zmax_ref, *, parts: int, base: int):
-    """One grid step: cost sums + maxima for a (BLK, N) tile of residuals.
+def _rice_cost_kernel(z_ref, sums_ref, zmax_ref):
+    """One grid step: cost sums + maxima for a (BLK, parts, base) tile.
 
     Args:
-        z_ref:    (BLK, N) uint32 zigzag residuals in VMEM.
+        z_ref:    (BLK, parts, base) uint32 zigzag residuals in VMEM
+                  (pre-reshaped outside the kernel -- Mosaic cannot shape-
+                  cast 2D->3D vectors in-kernel).
         sums_ref: (BLK, KMAX+1, parts) int32 out.
         zmax_ref: (BLK, parts) uint32 out.
     """
-    z = z_ref[:]                                   # load once
-    blk = z.shape[0]
-    zp = z.reshape(blk, parts, base)
-    zmax_ref[:] = jnp.max(zp, axis=-1)
+    zp = z_ref[:]                                  # load once
+    # Mosaic has no unsigned reductions: flip the sign bit so unsigned order
+    # equals signed order, max in int32, then flip back.
+    zb = jax.lax.bitcast_convert_type(zp ^ jnp.uint32(0x80000000), jnp.int32)
+    mb = jnp.max(zb, axis=-1)
+    zmax_ref[:] = jax.lax.bitcast_convert_type(mb, jnp.uint32) ^ jnp.uint32(0x80000000)
     for k in range(KMAX_KERNEL + 1):               # all sums from registers
-        q = jnp.minimum((zp >> jnp.uint32(k)).astype(jnp.int32), _QCLAMP)
+        # clamp without unsigned min (Mosaic lacks arith.minui): bitcast to
+        # int32 -- negative means q >= 2^31 > clamp -- then signed min+select
+        qi = jax.lax.bitcast_convert_type(zp >> jnp.uint32(k), jnp.int32)
+        q = jnp.where(qi < 0, jnp.int32(_QCLAMP), jnp.minimum(qi, _QCLAMP))
         sums_ref[:, k, :] = q.sum(axis=-1)
 
 
@@ -76,13 +83,13 @@ def rice_cost_sums(
     while B % rows:
         rows -= 1
     grid = (B // rows,)
-    kernel = functools.partial(_rice_cost_kernel, parts=parts, base=base)
+    z3 = z.reshape(B, parts, base)
     return pl.pallas_call(
-        kernel,
+        _rice_cost_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((rows, N), lambda i: (i, 0), memory_space=pltpu.ANY
-                         if interpret else pltpu.VMEM),
+            pl.BlockSpec((rows, parts, base), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((rows, KMAX_KERNEL + 1, parts), lambda i: (i, 0, 0)),
@@ -93,4 +100,4 @@ def rice_cost_sums(
             jax.ShapeDtypeStruct((B, parts), jnp.uint32),
         ),
         interpret=interpret,
-    )(z)
+    )(z3)
