@@ -113,7 +113,9 @@ def encode_flac_device(
         host_samples = (
             samples.astype(np.int64) - zero_point if zero_point else samples
         )
-        return encode_flac(
+        from .fast_encoder import encode_flac_fast
+
+        return encode_flac_fast(
             host_samples, sample_rate, bits_per_sample, compression_level,
             blocksize, comments, vendor, compute_md5, padding,
         )

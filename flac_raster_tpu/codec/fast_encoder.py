@@ -56,6 +56,31 @@ from .encoder import (
 
 __all__ = ["encode_flac_fast", "encode_flac_batch"]
 
+
+def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
+    """Device planner for narrow samples; numpy host planner for bps > 26."""
+    if bps > MAX_DEVICE_BPS:
+        from ..ops.host_planner import plan_blocks_host
+
+        def planner(blocks):
+            return plan_blocks_host(
+                blocks,
+                blocksize=blocksize,
+                bps=bps,
+                max_lpc_order=min(cfg.max_lpc_order, 8),
+                max_partition_order=min(cfg.max_partition_order, 6),
+                use_lpc=cfg.use_lpc,
+            )
+
+        return planner
+    return make_planner(
+        blocksize=blocksize,
+        bps=bps,
+        max_lpc_order=min(cfg.max_lpc_order, 8),
+        max_partition_order=min(cfg.max_partition_order, 6),
+        use_lpc=cfg.use_lpc,
+    )
+
 _UTF8_THRESHOLDS = np.array(
     [0x80, 0x800, 0x10000, 0x200000, 0x4000000, 0x80000000], dtype=np.int64
 )
@@ -419,7 +444,6 @@ def encode_flac_fast(
     n_full = n // blocksize
     if (
         n_full == 0
-        or bits_per_sample > MAX_DEVICE_BPS
         or (blocksize & (blocksize - 1)) != 0
         or blocksize % 64 != 0
     ):
@@ -434,16 +458,12 @@ def encode_flac_fast(
         raise ValueError("samples exceed bits_per_sample range")
 
     cfg = EncoderConfig.from_level(compression_level)
+    wide = bits_per_sample > MAX_DEVICE_BPS
     if planner is None:
-        planner = make_planner(
-            blocksize=blocksize,
-            bps=bits_per_sample,
-            max_lpc_order=min(cfg.max_lpc_order, 8),
-            max_partition_order=min(cfg.max_partition_order, 6),
-            use_lpc=cfg.use_lpc,
-        )
+        planner = _default_planner(blocksize, bits_per_sample, cfg)
     sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)
     bps_code = _BPS_CODES[bits_per_sample]
+    block_dtype = np.int64 if wide else np.int32
 
     # (n, C) -> (F, C, N) full blocks
     full = smp[: n_full * blocksize].reshape(n_full, blocksize, channels)
@@ -455,14 +475,14 @@ def encode_flac_fast(
         c1 = min(c0 + plan_chunk_frames, n_full)
         xc = full[c0:c1]
         Fc = c1 - c0
-        blocks = xc.reshape(Fc * channels, blocksize).astype(np.int32)
+        blocks = xc.reshape(Fc * channels, blocksize).astype(block_dtype)
         # Pad the batch to a power-of-two bucket so jit compiles only
         # O(log(max_chunk)) distinct shapes instead of one per file size.
         B = blocks.shape[0]
         b_pad = 1 << max(0, (B - 1)).bit_length()
         if b_pad != B:
             blocks = np.concatenate(
-                [blocks, np.zeros((b_pad - B, blocksize), np.int32)], axis=0
+                [blocks, np.zeros((b_pad - B, blocksize), block_dtype)], axis=0
             )
         plan_dev = planner(blocks)
         plan = {
@@ -536,7 +556,6 @@ def encode_flac_batch(
     if (
         T == 0
         or n_full == 0
-        or bits_per_sample > MAX_DEVICE_BPS
         or (blocksize & (blocksize - 1)) != 0
         or blocksize % 64 != 0
     ):
@@ -551,21 +570,16 @@ def encode_flac_batch(
 
     cfg = EncoderConfig.from_level(compression_level)
     if planner is None:
-        planner = make_planner(
-            blocksize=blocksize,
-            bps=bits_per_sample,
-            max_lpc_order=min(cfg.max_lpc_order, 8),
-            max_partition_order=min(cfg.max_partition_order, 6),
-            use_lpc=cfg.use_lpc,
-        )
+        planner = _default_planner(blocksize, bits_per_sample, cfg)
     sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)
     bps_code = _BPS_CODES[bits_per_sample]
+    block_dtype = np.int64 if bits_per_sample > MAX_DEVICE_BPS else np.int32
 
     smp = samples_batch.astype(np.int64, copy=False)
     full = smp[:, : n_full * blocksize].reshape(T, n_full, blocksize, channels)
     full = np.ascontiguousarray(full.transpose(0, 1, 3, 2))  # (T, F, C, N)
     blocks_per_tile = n_full * channels
-    all_blocks = full.reshape(T * blocks_per_tile, blocksize).astype(np.int32)
+    all_blocks = full.reshape(T * blocks_per_tile, blocksize).astype(block_dtype)
 
     # one batched planning pass, chunked + bucketed to bound memory/compiles
     plan_parts: dict[str, list[np.ndarray]] = {}
@@ -578,7 +592,7 @@ def encode_flac_batch(
         b_pad = 1 << max(0, (B - 1)).bit_length()
         if b_pad != B:
             blocks = np.concatenate(
-                [blocks, np.zeros((b_pad - B, blocksize), np.int32)], axis=0
+                [blocks, np.zeros((b_pad - B, blocksize), block_dtype)], axis=0
             )
         plan_dev = planner(blocks)
         for key, val in plan_dev.items():

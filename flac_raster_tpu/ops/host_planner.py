@@ -1,0 +1,229 @@
+"""Vectorized numpy block planner for wide samples (bps > 26).
+
+The device planner (ops/device_codec) is int32-throughout, which caps it at
+26-bit samples; 32-bps streams -- the float32/float64 lossless bit-fold modes
+and the reference's "24-bit"-really-32-bps minmax mode (SURVEY.md Q2) -- land
+here instead.  Same search space, same exact bit accounting, same plan
+schema, so codec/fast_encoder's vectorized emitter consumes either planner's
+output unchanged; all arithmetic is int64/uint64 numpy.
+
+Differences from the device planner (both valid FLAC, possibly different
+bytes):
+  * Rice parameters search the full 5-bit range (k <= 30) -- wide residuals
+    need large k and int64 costs are free on host.
+  * LPC needs no overflow guard (int64 accumulator), but candidates whose
+    residuals exceed 2^31 are dropped per the FLAC spec's residual bound,
+    exactly like the scalar reference encoder (codec/encoder.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .device_codec import (
+    KIND_CONSTANT,
+    KIND_FIXED,
+    KIND_LPC,
+    KIND_VERBATIM,
+    MAX_ORDER_SLOTS,
+    PART_SLOTS,
+)
+from . import lpc as lpc_ops
+
+__all__ = ["plan_blocks_host"]
+
+_KMAX = 30
+_QCLAMP = np.uint64(1 << 20)
+_BIG = np.int64(1) << 40
+
+
+def _rice_search_host(z: np.ndarray, order: int, max_po: int):
+    """Batched exact Rice search; mirrors device _rice_search in int64.
+
+    Args:
+        z: (B, N) uint64 zigzag residuals, positions < order zeroed.
+    Returns:
+        (method (B,), po (B,), ks (B, 64), payload_bits (B,), valid (B,))
+    """
+    B, N = z.shape
+    parts = 1 << max_po
+    base = N >> max_po
+    zr = z.reshape(B, parts, base)
+    zmax = zr.max(axis=-1)
+    counts = np.full(parts, base, np.int64)
+    counts[0] = base - order
+
+    ks = np.arange(_KMAX + 1, dtype=np.uint64)
+    cost = np.empty((B, _KMAX + 1, parts), np.int64)
+    for k in range(_KMAX + 1):
+        cost[:, k, :] = np.minimum(zr >> np.uint64(k), _QCLAMP).sum(
+            axis=-1, dtype=np.int64
+        )
+    cost += counts[None, None, :] * (ks.astype(np.int64)[None, :, None] + 1)
+    vmask = (zmax[:, None, :] >> ks[None, :, None]) + np.uint64(1) + ks[
+        None, :, None
+    ] <= np.uint64(64)
+    cost = np.where(vmask, cost, _BIG)
+
+    totals, ks_sel = [], []
+    lvl = cost
+    po = max_po
+    while True:
+        nparts = 1 << po
+        for pbits, kcap in ((4, 14), (5, _KMAX)):
+            c = lvl[:, : kcap + 1, :]
+            best_k = c.argmin(axis=1)
+            best_c = np.take_along_axis(c, best_k[:, None, :], axis=1)[:, 0, :]
+            total = best_c.sum(axis=1) + pbits * nparts
+            bad = (best_c >= _BIG).any(axis=1)
+            total = np.where(bad, _BIG, total)
+            kpad = np.zeros((B, PART_SLOTS), np.int64)
+            kpad[:, :nparts] = best_k
+            totals.append(total)
+            ks_sel.append(kpad)
+        if po == 0:
+            break
+        lvl = np.minimum(lvl[:, :, 0::2] + lvl[:, :, 1::2], _BIG)
+        po -= 1
+
+    tot = np.stack(totals, axis=1)
+    choice = tot.argmin(axis=1)
+    best_total = np.take_along_axis(tot, choice[:, None], axis=1)[:, 0]
+    ks_best = np.stack(ks_sel, axis=1)[np.arange(B), choice]
+    method = (choice % 2).astype(np.int64)
+    po_best = (max_po - choice // 2).astype(np.int64)
+    return method, po_best, ks_best, best_total, best_total < _BIG
+
+
+def plan_blocks_host(
+    blocks: np.ndarray,
+    *,
+    blocksize: int,
+    bps: int,
+    max_lpc_order: int = 8,
+    max_partition_order: int = 6,
+    use_lpc: bool = True,
+) -> dict:
+    """Plan FLAC subframes for a batch of full blocks (host, any bps<=32)."""
+    x = np.ascontiguousarray(blocks, dtype=np.int64)
+    B, N = x.shape
+    assert N == blocksize
+    while (blocksize >> max_partition_order) <= max(max_lpc_order, 4):
+        max_partition_order -= 1
+    res_limit = np.int64(1) << 31
+
+    is_const = (x == x[:, :1]).all(axis=1)
+    verbatim_bits = np.int64(8 + N * bps)
+
+    idx = np.arange(N)
+    cand_bits, cand_plan = [], []
+    r = x
+    for order in range(5):
+        if order:
+            r = np.diff(r, axis=1)
+        rp = np.zeros((B, N), np.int64)
+        rp[:, order:] = r if order else x
+        ok = (np.abs(rp) < res_limit).all(axis=1)
+        z = ((rp << 1) ^ (rp >> 63)).astype(np.uint64)
+        z[:, :order] = 0
+        method, po, kk, payload, valid = _rice_search_host(z, order, max_partition_order)
+        bits = 8 + order * bps + 2 + 4 + payload
+        bits = np.where(valid & ok, bits, _BIG)
+        cand_bits.append(bits)
+        cand_plan.append((method, po, kk, rp))
+
+    order = max_lpc_order
+    precision = 15
+    if use_lpc and order > 0:
+        window = lpc_ops.tukey_window(N)
+        xf = x.astype(np.float64) * window[None, :]
+        rr = np.empty((B, order + 1))
+        for lag in range(order + 1):
+            rr[:, lag] = np.einsum("bi,bi->b", xf[:, : N - lag], xf[:, lag:])
+        # batched Levinson-Durbin
+        a = np.zeros((B, order))
+        err = rr[:, 0].copy()
+        for i in range(order):
+            acc = rr[:, i + 1] - (
+                np.einsum("bj,bj->b", a[:, :i], rr[:, i:0:-1]) if i else 0.0
+            )
+            kref = np.where(err > 0, acc / np.where(err > 0, err, 1.0), 0.0)
+            a[:, :i] = a[:, :i] - kref[:, None] * a[:, :i][:, ::-1]
+            a[:, i] = kref
+            err *= 1.0 - kref * kref
+        cmax = np.abs(a).max(axis=1)
+        safe_cmax = np.where(cmax > 0, cmax, 1.0)
+        shift = np.clip(
+            precision - 1 - np.floor(np.log2(safe_cmax)).astype(np.int64) - 1, 0, 15
+        )
+        shift = np.where(cmax > 0, shift, 0)
+        scale = (np.int64(1) << shift).astype(np.float64)
+        qmax, qmin = (1 << (precision - 1)) - 1, -(1 << (precision - 1))
+        qc = np.empty((B, order), np.int64)
+        e = np.zeros(B)
+        for j in range(order):
+            val = a[:, j] * scale + e
+            qj = np.clip(np.round(val), qmin, qmax)
+            e = val - qj
+            qc[:, j] = qj.astype(np.int64)
+        acc = np.zeros((B, N), np.int64)
+        for j in range(order):
+            acc[:, j + 1 :] += qc[:, j : j + 1] * x[:, : N - j - 1]
+        pred = acc >> shift[:, None]
+        r_lpc = x - pred
+        r_lpc[:, :order] = 0
+        lpc_ok = (np.abs(r_lpc) < res_limit).all(axis=1) & (np.abs(qc).max(axis=1) > 0)
+        z = ((r_lpc << 1) ^ (r_lpc >> 63)).astype(np.uint64)
+        method_l, po_l, ks_l, payload_l, valid_l = _rice_search_host(
+            z, order, max_partition_order
+        )
+        lpc_bits = 8 + order * bps + 4 + 5 + order * precision + 2 + 4 + payload_l
+        lpc_bits = np.where(valid_l & lpc_ok, lpc_bits, _BIG)
+    else:
+        qc = np.zeros((B, max(order, 1)), np.int64)
+        shift = np.zeros(B, np.int64)
+        r_lpc = np.zeros_like(x)
+        method_l = po_l = np.zeros(B, np.int64)
+        ks_l = np.zeros((B, PART_SLOTS), np.int64)
+        lpc_bits = np.full(B, _BIG)
+
+    all_bits = np.stack(cand_bits + [lpc_bits, np.full(B, verbatim_bits)], axis=1)
+    best = all_bits.argmin(axis=1)
+    best_bits = np.take_along_axis(all_bits, best[:, None], axis=1)[:, 0]
+
+    is_lpc = best == 5
+    is_verb = best == 6
+    kind = np.where(
+        is_const, KIND_CONSTANT,
+        np.where(is_verb, KIND_VERBATIM, np.where(is_lpc, KIND_LPC, KIND_FIXED)),
+    )
+    order_out = np.where(is_lpc, order, np.minimum(best, 4))
+    order_out = np.where(is_const | is_verb, 0, order_out)
+
+    method, po, kk, resid = method_l, po_l, ks_l, r_lpc
+    for o in range(4, -1, -1):
+        m, p, k, rr_ = cand_plan[o]
+        pick = best == o
+        method = np.where(pick, m, method)
+        po = np.where(pick, p, po)
+        kk = np.where(pick[:, None], k, kk)
+        resid = np.where(pick[:, None], rr_, resid)
+    resid = np.where(idx[None, :] >= order_out[:, None], resid, 0)
+    bits_out = np.where(is_const, 8 + bps, np.where(is_verb, verbatim_bits, best_bits))
+
+    has_resid = (kind == KIND_FIXED) | (kind == KIND_LPC)
+    qc_pad = np.zeros((B, MAX_ORDER_SLOTS), np.int64)
+    qc_pad[:, : qc.shape[1]] = qc
+    return dict(
+        kind=kind,
+        order=order_out,
+        method=np.where(has_resid, method, 0),
+        po=np.where(has_resid, po, 0),
+        ks=np.where(has_resid[:, None], kk, 0),
+        precision=np.full(B, precision, np.int64),
+        shift=shift,
+        qcoeffs=qc_pad,
+        residual=resid,
+        subframe_bits=bits_out,
+        const_value=x[:, 0],
+    )

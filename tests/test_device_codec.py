@@ -270,3 +270,44 @@ class TestPallasKernels:
             dc.plan_blocks.clear_cache()
         for key in p_ref:
             assert np.array_equal(p_ref[key], p_pal[key]), key
+
+
+class TestHostPlannerWideBps:
+    """ops/host_planner: the bps>26 (float32/float64/minmax-32bps) fast path."""
+
+    def test_32bps_matches_scalar_encoder_size(self, rng):
+        from flac_raster_tpu.codec.fast_encoder import encode_flac_fast
+
+        x = np.cumsum(rng.integers(-100000, 100000, (2 * N + 50, 2)), axis=0)
+        x = np.clip(x, -(2**31), 2**31 - 1).astype(np.int32)
+        fast = encode_flac_fast(x, 44100, 32, 5)
+        dec = decode_flac(fast, verify_crc=True)
+        assert np.array_equal(dec.samples.astype(np.int64), x.astype(np.int64))
+        ref = encode_flac(x, 44100, 32, 5)
+        assert len(fast) <= len(ref) * 1.02 + 256
+
+    def test_float32_and_float64_lossless(self, rng):
+        from flac_raster_tpu.converter import RasterFLACConverter
+
+        conv = RasterFLACConverter()
+        f32 = rng.normal(0, 100, (1, 128, 160)).astype(np.float32)
+        f32[0, 5, 5] = np.nan        # NaN payload must survive bit-exactly
+        f32[0, 6, 6] = -np.inf
+        blob = conv.encode_array(f32)
+        back, _ = conv.decode_bytes(blob)
+        assert back.dtype == np.float32
+        assert np.array_equal(back.view(np.uint32), f32.view(np.uint32))
+
+        f64 = rng.normal(0, 1, (2, 64, 128)).astype(np.float64)
+        blob = conv.encode_array(f64)
+        back, _ = conv.decode_bytes(blob)
+        assert back.dtype == np.float64
+        assert np.array_equal(back.view(np.uint64), f64.view(np.uint64))
+
+    def test_wide_noise_verbatim(self, rng):
+        from flac_raster_tpu.codec.fast_encoder import encode_flac_fast
+
+        x = rng.integers(-(2**31), 2**31, (N, 1), dtype=np.int64).astype(np.int32)
+        f = encode_flac_fast(x, 44100, 32, 5)
+        dec = decode_flac(f)
+        assert np.array_equal(dec.samples[:, 0].astype(np.int64), x[:, 0].astype(np.int64))
