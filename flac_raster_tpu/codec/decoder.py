@@ -236,6 +236,36 @@ def decode_flac(
             vendor, comments = parse_vorbis_comments(b.data)
 
     arr = np.frombuffer(buf, dtype=np.uint8)
+
+    # Fast path: one native C pass over all frames (subframe parse, Rice
+    # decode, predictor restore, stereo un-decorrelation).  CRC-16 of every
+    # frame is verified from the returned spans; the Python walk below is
+    # the fallback and precise-diagnostics path.
+    from .. import native
+
+    if native.available() and streaminfo.total_samples and streaminfo.channels:
+        got = native.decode_frames(
+            arr, frame_start, streaminfo.total_samples,
+            streaminfo.channels, streaminfo.bits_per_sample,
+        )
+        if got is not None:
+            out, fstarts, fsizes = got
+            if verify_crc and len(fstarts):
+                calc = native.crc16_spans(arr, fstarts, fsizes - 2)
+                stored = (
+                    arr[fstarts + fsizes - 2].astype(np.uint16) << 8
+                ) | arr[fstarts + fsizes - 1]
+                bad = np.nonzero(calc != stored)[0]
+                if bad.size:
+                    raise ValueError(
+                        f"frame CRC-16 mismatch at byte {int(fstarts[bad[0]])}"
+                    )
+            result = DecodedStream(out, streaminfo, comments, vendor)
+            if verify_md5 and streaminfo.md5 != b"\x00" * 16:
+                if md5_of_samples(out, streaminfo.bits_per_sample) != streaminfo.md5:
+                    raise ValueError("decoded audio MD5 mismatch")
+            return result
+
     bits, ones = _LazyBits(arr), _LazyOnes(arr)
 
     br = BitReader(arr, frame_start * 8)

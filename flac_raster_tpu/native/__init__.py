@@ -83,6 +83,14 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint16),
     ]
+    lib.decode_frames_c.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.decode_frames_c.restype = ctypes.c_int64
     lib.lpc_restore_c.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -213,3 +221,35 @@ def lpc_restore(warmups, residuals, qcoeffs, shifts):
         b, order, max_len, _ptr(out, ctypes.c_int64),
     )
     return out
+
+
+def decode_frames(
+    buf: np.ndarray,
+    start_byte: int,
+    expected_samples: int,
+    channels: int,
+    bits_per_sample: int,
+):
+    """Decode every frame of a stream in one native pass.
+
+    Returns (samples (expected, channels) int32, frame_starts, frame_sizes)
+    or None when the native decoder cannot handle the stream (the caller
+    falls back to the Python decoder, which also produces precise errors).
+    """
+    lib = _load()
+    assert lib, "native library unavailable"
+    out = np.empty((expected_samples, channels), dtype=np.int32)
+    cap = expected_samples // 16 + 4
+    starts = np.empty(cap, dtype=np.int64)
+    sizes = np.empty(cap, dtype=np.int64)
+    n_frames = np.zeros(1, dtype=np.int64)
+    total = lib.decode_frames_c(
+        _ptr(buf, ctypes.c_uint8), buf.size, start_byte,
+        expected_samples, channels, bits_per_sample,
+        _ptr(out, ctypes.c_int32), _ptr(starts, ctypes.c_int64),
+        _ptr(sizes, ctypes.c_int64), cap, _ptr(n_frames, ctypes.c_int64),
+    )
+    if total != expected_samples or n_frames[0] > cap:
+        return None
+    nf = int(n_frames[0])
+    return out, starts[:nf], sizes[:nf]

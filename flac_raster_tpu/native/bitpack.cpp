@@ -270,3 +270,198 @@ void lpc_restore_c(const int64_t* warmups,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full-frame native decoder: header walk + subframes + restore, one C pass.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline int64_t read_utf8_num(BitRd& br) {
+    uint64_t first = br.read(8);
+    if (first < 0x80) return (int64_t)first;
+    int ones = 0;
+    uint64_t probe = first;
+    while (probe & 0x80) { ++ones; probe = (probe << 1) & 0xFF; }
+    if (ones < 2 || ones > 7) { br.ok = false; return -1; }
+    int64_t val = (int64_t)(first & (0x7FULL >> ones));
+    for (int i = 0; i < ones - 1; ++i) {
+        uint64_t b = br.read(8);
+        if ((b & 0xC0) != 0x80) { br.ok = false; return -1; }
+        val = (val << 6) | (int64_t)(b & 0x3F);
+    }
+    return val;
+}
+
+inline int64_t sext(uint64_t v, int n) {
+    uint64_t sign = 1ULL << (n - 1);
+    return (int64_t)((v ^ sign) - sign);
+}
+
+// Decode one subframe into x[0..n). Returns false on malformed input.
+bool decode_subframe(BitRd& br, int64_t* x, int32_t n, int bps) {
+    if (br.read(1)) return false;                 // padding bit
+    uint32_t type = (uint32_t)br.read(6);
+    int wasted = 0;
+    if (br.read(1)) {                             // wasted bits flag
+        wasted = 1;
+        while (br.ok && br.read(1) == 0) ++wasted;
+    }
+    int ebps = bps - wasted;
+    if (!br.ok || ebps <= 0) return false;
+
+    if (type == 0) {                              // constant
+        int64_t v = sext(br.read(ebps), ebps);
+        for (int32_t i = 0; i < n; ++i) x[i] = v;
+    } else if (type == 1) {                       // verbatim
+        for (int32_t i = 0; i < n; ++i) x[i] = sext(br.read(ebps), ebps);
+    } else if (type >= 8 && type <= 12) {         // fixed
+        int order = (int)type - 8;
+        for (int o = 0; o < order; ++o) x[o] = sext(br.read(ebps), ebps);
+        int64_t end = decode_residual_c(br.buf, br.nbits, br.pos, n, order, x + order);
+        if (end < 0) return false;
+        br.pos = end;
+        static const int64_t FC[5][4] = {
+            {0,0,0,0},{1,0,0,0},{2,-1,0,0},{3,-3,1,0},{4,-6,4,-1}};
+        for (int32_t i = order; i < n; ++i) {
+            int64_t pred = 0;
+            for (int j = 0; j < order; ++j) pred += FC[order][j] * x[i - 1 - j];
+            x[i] += pred;
+        }
+    } else if (type >= 32) {                      // lpc
+        int order = (int)type - 31;
+        for (int o = 0; o < order; ++o) x[o] = sext(br.read(ebps), ebps);
+        int precision = (int)br.read(4) + 1;
+        if (precision == 16) return false;
+        int64_t shift = sext(br.read(5), 5);
+        if (shift < 0) return false;
+        int64_t qc[32];
+        for (int o = 0; o < order; ++o) qc[o] = sext(br.read(precision), precision);
+        int64_t end = decode_residual_c(br.buf, br.nbits, br.pos, n, order, x + order);
+        if (end < 0) return false;
+        br.pos = end;
+        for (int32_t i = order; i < n; ++i) {
+            int64_t acc = 0;
+            for (int j = 0; j < order; ++j) acc += qc[j] * x[i - 1 - j];
+            x[i] += acc >> shift;
+        }
+    } else {
+        return false;
+    }
+    if (!br.ok) return false;
+    if (wasted) for (int32_t i = 0; i < n; ++i) x[i] <<= wasted;
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode all frames of a fixed-layout stream into out (total, channels) i32.
+// Returns number of samples decoded, or negative error.
+//   -1 malformed  -2 truncated  -3 sync lost  -4 crc (crc checking is done
+//   by the caller over spans; this decoder skips crc fields)
+// frame_sizes_out (optional, may be null): per-frame byte sizes for the
+// caller's CRC verification; cap is its capacity.
+int64_t decode_frames_c(const uint8_t* buf,
+                        int64_t n_bytes,
+                        int64_t start_byte,
+                        int64_t expected_samples,
+                        int32_t stream_channels,
+                        int32_t stream_bps,
+                        int32_t* out,
+                        int64_t* frame_starts_out,
+                        int64_t* frame_sizes_out,
+                        int64_t cap,
+                        int64_t* n_frames_out) {
+    BitRd br(buf, n_bytes * 8, start_byte * 8);
+    int64_t total = 0;
+    int64_t n_frames = 0;
+    // scratch for one frame (max blocksize 65535, max 8 channels)
+    static thread_local int64_t* chan_buf = nullptr;
+    static thread_local int64_t chan_cap = 0;
+
+    while (total < expected_samples) {
+        int64_t frame_byte = br.pos >> 3;
+        if (br.read(14) != 0x3FFE) return -3;
+        if (br.read(1)) return -1;
+        br.read(1);                                 // variable-blocksize flag
+        uint32_t bs_code = (uint32_t)br.read(4);
+        uint32_t sr_code = (uint32_t)br.read(4);
+        uint32_t chan_code = (uint32_t)br.read(4);
+        uint32_t size_code = (uint32_t)br.read(3);
+        if (br.read(1)) return -1;
+        if (read_utf8_num(br) < 0) return -1;
+        static const int32_t BS[16] = {0,192,576,1152,2304,4608,-1,-2,
+                                       256,512,1024,2048,4096,8192,16384,32768};
+        int32_t blocksize;
+        if (bs_code == 0) return -1;
+        else if (bs_code == 6) blocksize = (int32_t)br.read(8) + 1;
+        else if (bs_code == 7) blocksize = (int32_t)br.read(16) + 1;
+        else blocksize = BS[bs_code];
+        if (sr_code == 12) br.read(8);
+        else if (sr_code == 13 || sr_code == 14) br.read(16);
+        else if (sr_code == 15) return -1;
+        br.read(8);                                 // crc8 (verified by caller)
+        if (!br.ok) return -2;
+
+        int n_ch = chan_code <= 7 ? (int)chan_code + 1 : 2;
+        static const int32_t BPS_T[8] = {0,8,12,0,16,20,24,32};
+        int base_bps = size_code ? BPS_T[size_code] : stream_bps;
+        if (size_code && !base_bps) return -1;
+
+        if (total + blocksize > expected_samples) return -1;  // overrun guard
+        if (chan_cap < (int64_t)blocksize * n_ch) {
+            delete[] chan_buf;
+            chan_cap = (int64_t)blocksize * n_ch;
+            chan_buf = new int64_t[chan_cap];
+        }
+        for (int c = 0; c < n_ch; ++c) {
+            int bps_c = base_bps;
+            if (chan_code == 8 && c == 1) bps_c += 1;       // left/side
+            if (chan_code == 9 && c == 0) bps_c += 1;       // right/side
+            if (chan_code == 10 && c == 1) bps_c += 1;      // mid/side
+            if (!decode_subframe(br, chan_buf + (int64_t)c * blocksize,
+                                 blocksize, bps_c))
+                return -1;
+        }
+        br.pos = (br.pos + 7) & ~7LL;               // byte align
+        br.read(16);                                // crc16 (verified by caller)
+        if (!br.ok) return -2;
+
+        // stereo un-decorrelation + interleave into out
+        int64_t* L = chan_buf;
+        int64_t* R = chan_buf + blocksize;
+        if (chan_code == 8) {                       // left/side
+            for (int32_t i = 0; i < blocksize; ++i) R[i] = L[i] - R[i];
+        } else if (chan_code == 9) {                // right/side: L = R + side
+            for (int32_t i = 0; i < blocksize; ++i) {
+                int64_t side = L[i];
+                L[i] = R[i] + side;
+            }
+        } else if (chan_code == 10) {               // mid/side
+            for (int32_t i = 0; i < blocksize; ++i) {
+                int64_t mid = L[i], side = R[i];
+                mid = (mid << 1) | (side & 1);
+                L[i] = (mid + side) >> 1;
+                R[i] = (mid - side) >> 1;
+            }
+        }
+        int32_t* dst = out + total * stream_channels;
+        for (int c = 0; c < n_ch; ++c) {
+            const int64_t* src = chan_buf + (int64_t)c * blocksize;
+            for (int32_t i = 0; i < blocksize; ++i)
+                dst[(int64_t)i * stream_channels + c] = (int32_t)src[i];
+        }
+        if (n_frames < cap && frame_starts_out && frame_sizes_out) {
+            frame_starts_out[n_frames] = frame_byte;
+            frame_sizes_out[n_frames] = (br.pos >> 3) - frame_byte;
+        }
+        ++n_frames;
+        total += blocksize;
+    }
+    if (n_frames_out) *n_frames_out = n_frames;
+    return total;
+}
+
+}  // extern "C"
