@@ -58,7 +58,13 @@ __all__ = ["encode_flac_fast", "encode_flac_batch"]
 
 
 def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
-    """Device planner for narrow samples; numpy host planner for bps > 26."""
+    """Device planner for narrow samples; numpy host planner for bps > 26.
+
+    With more than one visible device the block batch is sharded across all
+    of them (blocks are independent, so this is pure data parallelism --
+    SURVEY.md §2.4's block-parallel mapping); padding in the callers keeps
+    batch sizes divisible.
+    """
     if bps > MAX_DEVICE_BPS:
         from ..ops.host_planner import plan_blocks_host
 
@@ -73,13 +79,39 @@ def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
             )
 
         return planner
-    return make_planner(
+    base = make_planner(
         blocksize=blocksize,
         bps=bps,
         max_lpc_order=min(cfg.max_lpc_order, 8),
         max_partition_order=min(cfg.max_partition_order, 6),
         use_lpc=cfg.use_lpc,
     )
+    import jax
+
+    devs = jax.devices()
+    if len(devs) <= 1:
+        return base
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(devs), ("blocks",))
+    shard = NamedSharding(mesh, P("blocks"))
+
+    def sharded_planner(blocks):
+        n_dev = len(devs)
+        B = blocks.shape[0]
+        pad = (-B) % n_dev
+        if pad:
+            blocks = np.concatenate(
+                [blocks, np.zeros((pad, blocks.shape[1]), blocks.dtype)]
+            )
+        import jax.numpy as jnp
+
+        plan = base(jax.device_put(jnp.asarray(blocks), shard))
+        if pad:
+            plan = {k: v[:B] for k, v in plan.items()}
+        return plan
+
+    return sharded_planner
 
 _UTF8_THRESHOLDS = np.array(
     [0x80, 0x800, 0x10000, 0x200000, 0x4000000, 0x80000000], dtype=np.int64

@@ -311,3 +311,26 @@ class TestHostPlannerWideBps:
         f = encode_flac_fast(x, 44100, 32, 5)
         dec = decode_flac(f)
         assert np.array_equal(dec.samples[:, 0].astype(np.int64), x[:, 0].astype(np.int64))
+
+
+class TestCompressionParity:
+    def test_beats_libflac_on_reference_fixture(self, ref_rgb_flac):
+        """BASELINE.json: 'ratio parity with libFLAC level 5'. We encode the
+        exact samples libFLAC 1.4.3 encoded in the reference fixture and
+        must produce a stream no larger (currently ~1.9% smaller)."""
+        blob = ref_rgb_flac.read_bytes()
+        dec = decode_flac(blob, verify_crc=True)
+        ours = encode_flac_fast(
+            dec.samples, dec.streaminfo.sample_rate,
+            dec.streaminfo.bits_per_sample, 5,
+        )
+        # compare frame payloads only (the fixture carries metadata blocks)
+        from flac_raster_tpu.models.flac_format import parse_flac_metadata
+
+        _, _, ref_frames_at = parse_flac_metadata(blob)
+        _, _, our_frames_at = parse_flac_metadata(ours)
+        ref_body = len(blob) - ref_frames_at
+        our_body = len(ours) - our_frames_at
+        assert our_body <= ref_body, (our_body, ref_body)
+        dec2 = decode_flac(ours, verify_crc=True)
+        assert np.array_equal(dec2.samples, dec.samples)

@@ -99,3 +99,26 @@ class TestGraftEntry:
         from __graft_entry__ import dryrun_multichip
 
         dryrun_multichip(8)
+
+
+class TestShardedPlannerEncode:
+    def test_encode_on_8_device_mesh_matches_single(self):
+        """The default planner shards blocks over all visible devices; the
+        stream must be byte-identical to the single-device result."""
+        import jax
+        from flac_raster_tpu.codec.encoder import EncoderConfig
+        from flac_raster_tpu.codec.fast_encoder import _default_planner, encode_flac_fast
+        from flac_raster_tpu.ops.device_codec import make_planner
+
+        assert len(jax.devices()) == 8  # conftest virtual mesh
+        rng = np.random.default_rng(21)
+        x = np.cumsum(rng.integers(-30, 31, (5 * 4096 + 7, 1)), axis=0)
+        x = x.clip(-30000, 30000).astype(np.int16)
+        sharded = encode_flac_fast(x, 44100, 16, 5)  # uses sharded planner
+        single = encode_flac_fast(
+            x, 44100, 16, 5,
+            planner=make_planner(blocksize=4096, bps=16),
+        )
+        assert sharded == single
+        dec = decode_flac(sharded)
+        assert np.array_equal(dec.samples[:, 0].astype(np.int64), x[:, 0].astype(np.int64))
