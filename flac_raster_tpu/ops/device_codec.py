@@ -151,16 +151,18 @@ def _rice_search(z, order, blocksize, max_po, idx):
     B = z.shape[0]
     parts = 1 << max_po
     base = blocksize >> max_po
-    mask = (idx >= order)[None, :]
+    # ``order`` may be a static int or a per-block (B,) array (dynamic LPC
+    # order selection); normalize to a broadcastable column.
+    order_col = jnp.asarray(order, jnp.int32).reshape(-1, 1)
+    mask = idx[None, :] >= order_col
     z = jnp.where(mask, z, jnp.uint32(0))
 
     zr = z.reshape(B, parts, base)
     if not _use_pallas():
         zmax = zr.max(axis=-1)  # (B, parts) uint32 (unsigned: z may exceed 2^31)
     # Per-partition sample counts (partition 0 loses the warmup samples).
-    counts = np.full(parts, base, np.int32)
-    counts[0] = base - order
-    counts_l = jnp.asarray(counts)
+    part_iota = jax.lax.broadcasted_iota(jnp.int32, (1, parts), 1)
+    counts_l = jnp.where(part_iota == 0, base - order_col, base)  # (B|1, parts)
 
     ks = np.arange(KMAX + 1, dtype=np.int32)
     # cost[b, k, p] = sum over partition of min(z >> k, QCLAMP) + cnt*(k+1)
@@ -179,7 +181,7 @@ def _rice_search(z, order, blocksize, max_po, idx):
             q = jnp.minimum(zr >> jnp.uint32(k), jnp.uint32(_QCLAMP)).astype(jnp.int32)
             sums.append(q.sum(axis=-1))
         cost = jnp.stack(sums, axis=1)  # (B, K+1, parts)
-    cost = cost + counts_l[None, None, :] * (jnp.asarray(ks)[None, :, None] + 1)
+    cost = cost + counts_l[:, None, :] * (jnp.asarray(ks)[None, :, None] + 1)
     # validity: every token in the partition fits in 64 bits (uint32 math --
     # zmax can exceed int32 range for wide LPC residuals)
     ks_u = jnp.asarray(ks.astype(np.uint32))
@@ -230,10 +232,24 @@ def _levinson(r):
     Returns:
         (B, order) float32 LPC coefficients (a[j] multiplies x[i-1-j]).
     """
+    return _levinson_all(r)[0][:, -1, :]
+
+
+def _levinson_all(r):
+    """Batched Levinson-Durbin keeping every intermediate order.
+
+    Args:
+        r: (B, order+1) float32 autocorrelation.
+    Returns:
+        coeffs_all (B, order, order) float32 -- row i holds the order-(i+1)
+        coefficients zero-padded to ``order`` taps;
+        errs (B, order) float32 -- prediction error after each order.
+    """
     B, om1 = r.shape
     order = om1 - 1
     a = jnp.zeros((B, order), jnp.float32)
     err = r[:, 0]
+    rows, errs = [], []
     for i in range(order):
         # acc = r[i+1] - sum_{j<i} a[j] * r[i-j]
         if i:
@@ -245,7 +261,9 @@ def _levinson(r):
         a = a.at[:, :i].set(new_a)
         a = a.at[:, i].set(k)
         err = err * (1.0 - k * k)
-    return a
+        rows.append(a)
+        errs.append(err)
+    return jnp.stack(rows, axis=1), jnp.stack(errs, axis=1)
 
 
 def _quantize_coeffs(coeffs, precision):
@@ -351,7 +369,7 @@ def plan_blocks(
         cand_bits.append(bits)
         cand_plan.append((method, po, ks, r))
 
-    # --- LPC (single order = max_lpc_order, level-5 style) -------------------
+    # --- LPC with estimated-best order (libFLAC level-5 style) ---------------
     order = max_lpc_order
     precision = 15
     if use_lpc and order > 0:
@@ -361,23 +379,41 @@ def plan_blocks(
         for lag in range(1, order + 1):
             rlags.append(jnp.sum(xf[:, lag:] * xf[:, : N - lag], axis=1))
         rr = jnp.stack(rlags, axis=1)
-        coeffs = _levinson(rr)
+        coeffs_all, errs = _levinson_all(rr)           # (B, M, M), (B, M)
+        # order choice by estimated bits: (n-o) * 0.5*log2(err/n) header-adjusted
+        o_f = jnp.arange(1, order + 1, dtype=jnp.float32)[None, :]
+        bits_per_res = jnp.maximum(
+            0.5 * jnp.log2(jnp.maximum(errs, 1e-9) / float(N)), 0.0
+        )
+        est = (float(N) - o_f) * bits_per_res + o_f * float(bps + precision)
+        best_o = jnp.argmin(est, axis=1)               # (B,) 0-based
+        order_arr = (best_o + 1).astype(jnp.int32)
+        coeffs = jnp.take_along_axis(
+            coeffs_all, best_o[:, None, None], axis=1
+        )[:, 0]                                        # (B, M), zero-padded
         qc, shift = _quantize_coeffs(coeffs, precision)
+        # error-feedback rounding can leak into padded taps; hard-zero them so
+        # the emitted coefficients and the residual convolution agree exactly
+        tap = jax.lax.broadcasted_iota(jnp.int32, qc.shape, 1)
+        qc = jnp.where(tap < order_arr[:, None], qc, 0)
         # conservative int32-overflow guard (see module docstring)
         abs_sum = jnp.sum(jnp.abs(qc).astype(jnp.float32), axis=1)
         max_abs_x = jnp.max(jnp.abs(x), axis=1).astype(jnp.float32)
         lpc_safe = (abs_sum * max_abs_x) * 1.001 < float(1 << 30)
         lpc_safe = lpc_safe & (jnp.max(jnp.abs(qc), axis=1) > 0)
+        # M-tap convolution with zero coefficients beyond order_arr computes
+        # the exact order_arr-tap residual for every i >= order_arr
         r_lpc = _lpc_residual(x, qc, shift, order)
         z = _zigzag_u32(r_lpc)
-        # garbage warmup positions could poison zmax -> zero them via the
-        # shared mask inside _rice_search (it re-masks by order)
         method_l, po_l, ks_l, payload_l, valid_l = _rice_search(
-            z, order, N, max_partition_order, idx
+            z, order_arr, N, max_partition_order, idx
         )
-        lpc_bits = 8 + order * bps + 4 + 5 + order * precision + 2 + 4 + payload_l
+        lpc_bits = (
+            8 + order_arr * bps + 4 + 5 + order_arr * precision + 2 + 4 + payload_l
+        )
         lpc_bits = jnp.where(valid_l & lpc_safe, lpc_bits, _BIG).astype(jnp.int32)
     else:
+        order_arr = jnp.zeros((B,), jnp.int32)
         qc = jnp.zeros((B, max(order, 1)), jnp.int32)
         shift = jnp.zeros((B,), jnp.int32)
         r_lpc = jnp.zeros_like(x)
@@ -398,7 +434,7 @@ def plan_blocks(
         KIND_CONSTANT,
         jnp.where(is_verb, KIND_VERBATIM, jnp.where(is_lpc, KIND_LPC, KIND_FIXED)),
     ).astype(jnp.int32)
-    order_out = jnp.where(is_lpc, order, jnp.minimum(best, 4)).astype(jnp.int32)
+    order_out = jnp.where(is_lpc, order_arr, jnp.minimum(best, 4)).astype(jnp.int32)
     order_out = jnp.where(is_const | is_verb, 0, order_out)
 
     # gather per-candidate plan fields with a where-chain (static 6 options)
