@@ -50,6 +50,8 @@ def _resolve_input(input_path: str, temp_files: list) -> Path:
 def cmd_convert(args) -> int:
     _setup_logging(args.verbose)
     temp_files: list[Path] = []
+    from .utils.profiling import device_trace
+
     try:
         input_path = _resolve_input(args.input_file, temp_files)
         if not input_path.exists():
@@ -78,28 +80,29 @@ def cmd_convert(args) -> int:
         from .converter import RasterFLACConverter
 
         lossless = not args.minmax
-        if args.streaming and direction == "tiff_to_flac":
-            from .models.streaming import create_streaming_flac
+        with device_trace(getattr(args, "trace", None)):
+            if args.streaming and direction == "tiff_to_flac":
+                from .models.streaming import create_streaming_flac
 
-            sindex = create_streaming_flac(
-                input_path, output, args.tile_size, args.compression, lossless
-            )
-            print(f"Created streaming FLAC: {output}")
-            print(f"  Tiles: {len(sindex.frames)}")
-            print(f"  Size: {output.stat().st_size / 1e6:.2f} MB")
-            return 0
+                sindex = create_streaming_flac(
+                    input_path, output, args.tile_size, args.compression, lossless
+                )
+                print(f"Created streaming FLAC: {output}")
+                print(f"  Tiles: {len(sindex.frames)}")
+                print(f"  Size: {output.stat().st_size / 1e6:.2f} MB")
+                return 0
 
-        conv = RasterFLACConverter(lossless=lossless)
-        if direction == "tiff_to_flac":
-            result = conv.tiff_to_flac(
-                input_path, output, args.compression, args.spatial, args.tile_size
-            )
-            if args.spatial and result:
-                print(f"Created {len(result.frames)} spatial tiles")
-            print(f"SUCCESS: Converted to FLAC: {output}")
-        else:
-            conv.flac_to_tiff(input_path, output)
-            print(f"SUCCESS: Converted to TIFF: {output}")
+            conv = RasterFLACConverter(lossless=lossless)
+            if direction == "tiff_to_flac":
+                result = conv.tiff_to_flac(
+                    input_path, output, args.compression, args.spatial, args.tile_size
+                )
+                if args.spatial and result:
+                    print(f"Created {len(result.frames)} spatial tiles")
+                print(f"SUCCESS: Converted to FLAC: {output}")
+            else:
+                conv.flac_to_tiff(input_path, output)
+                print(f"SUCCESS: Converted to TIFF: {output}")
         return 0
     except Exception as e:  # noqa: BLE001
         logger.exception("Conversion failed")
@@ -378,6 +381,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Create Netflix-style streaming format")
     c.add_argument("-f", "--force", action="store_true", help="Overwrite existing output")
     c.add_argument("-v", "--verbose", action="store_true", help="Verbose logging")
+    c.add_argument("--trace", metavar="DIR",
+                   help="Write a jax.profiler device trace (TensorBoard format) to DIR")
     c.add_argument("--minmax", action="store_true",
                    help="Use reference-compatible min-max normalization "
                         "instead of exact lossless mapping")
