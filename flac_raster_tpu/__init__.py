@@ -11,6 +11,10 @@ reference recipes run unchanged, plus this framework's additions (exact
 lossless modes, device-batched tile engine).
 """
 
+from .codec.decoder import decode_flac
+from .codec.device_encoder import encode_flac_device
+from .codec.encoder import encode_flac
+from .codec.fast_encoder import encode_flac_batch, encode_flac_fast
 from .compare import compare_tiffs, display_comparison_table
 from .converter import RasterFLACConverter
 from .io.geo import Affine, BoundingBox, Window
@@ -51,6 +55,12 @@ except ImportError:  # pragma: no cover
 __all__ = [
     # Core converter
     "RasterFLACConverter",
+    # Codec (first-party FLAC encoder/decoder family)
+    "encode_flac",
+    "encode_flac_fast",
+    "encode_flac_device",
+    "encode_flac_batch",
+    "decode_flac",
     # Comparison utilities
     "compare_tiffs",
     "display_comparison_table",

@@ -118,7 +118,6 @@ class _LazyOnes:
     def __init__(self, arr: np.ndarray):
         self._arr = arr
         self._ones: np.ndarray | None = None
-        self._bits_src: _LazyBits | None = None
 
     def get(self, bits: "_LazyBits") -> np.ndarray:
         if self._ones is None:

@@ -29,18 +29,6 @@ import numpy as np
 from .codec.decoder import decode_flac
 from .codec.device_encoder import encode_flac_device
 from .codec.fast_encoder import encode_flac_batch, encode_flac_fast
-
-
-def _best_encoder():
-    """Device-resident pipeline on an accelerator; host emitter on CPU.
-
-    Both produce byte-identical streams (tested); the device path keeps the
-    plan in HBM and downloads only compressed words, which wins whenever a
-    real accelerator is attached.
-    """
-    import jax
-
-    return encode_flac_device if jax.default_backend() != "cpu" else encode_flac_fast
 from .io.geo import Affine
 from .io.geotiff import open_geotiff, write_geotiff
 from .models.metadata import build_geospatial_comments, parse_geospatial_comments
@@ -57,6 +45,18 @@ from .ops.normalization import (
 logger = logging.getLogger("flac_raster_tpu.converter")
 
 __all__ = ["RasterFLACConverter"]
+
+
+def _best_encoder():
+    """Device-resident pipeline on an accelerator; host emitter on CPU.
+
+    Both produce byte-identical streams (tested); the device path keeps the
+    plan in HBM and downloads only compressed words, which wins whenever a
+    real accelerator is attached.
+    """
+    import jax
+
+    return encode_flac_device if jax.default_backend() != "cpu" else encode_flac_fast
 
 
 def _interleave(data: np.ndarray) -> tuple[np.ndarray, int]:

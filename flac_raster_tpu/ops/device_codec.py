@@ -46,7 +46,6 @@ shorter than one block take the host planner instead (codec/encoder.py).
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 
