@@ -53,6 +53,27 @@ def parse_cloud_url(url: str) -> Tuple[str, str, str]:
     return parsed.scheme.lower(), parsed.netloc, parsed.path.lstrip("/")
 
 
+def cloud_url_to_https(url: str) -> str:
+    """Map a cloud URL to the provider's public (unsigned) HTTPS endpoint."""
+    scheme, bucket, key = parse_cloud_url(url)
+    if scheme == "s3":
+        return f"https://{bucket}.s3.amazonaws.com/{key}"
+    if scheme == "gs":
+        return f"https://storage.googleapis.com/{bucket}/{key}"
+    if scheme == "az":
+        # az://container/path needs an account; the reference's obstore path
+        # reads the account from env -- mirror that for the public endpoint
+        import os
+
+        account = os.environ.get("AZURE_STORAGE_ACCOUNT_NAME", "")
+        if not account:
+            raise ValueError(
+                "az:// URLs need AZURE_STORAGE_ACCOUNT_NAME (or obstore)"
+            )
+        return f"https://{account}.blob.core.windows.net/{bucket}/{key}"
+    raise ValueError(f"not a cloud URL: {url}")
+
+
 class RemoteFile:
     """Byte-range reader over http(s)/s3/az/gs URLs."""
 
@@ -92,10 +113,15 @@ class RemoteFile:
 
     def _init_cloud(self):
         if not OBSTORE_AVAILABLE:
-            raise ImportError(
-                "obstore is required for cloud storage access (s3://, az://, gs://). "
-                "Install with: pip install obstore"
-            )
+            # Public buckets are reachable without obstore via the provider's
+            # HTTPS endpoint (unsigned requests).  Credentialed access still
+            # needs obstore, matching the reference's optional dependency.
+            https = cloud_url_to_https(self.url)
+            logger.info("obstore unavailable; using public endpoint %s", https)
+            self.url = https
+            self.scheme = get_url_scheme(https)
+            self._init_http()
+            return
         scheme, bucket, self._key = parse_cloud_url(self.url)
         if scheme == "s3":
             self._store = S3Store(bucket=bucket)

@@ -193,3 +193,29 @@ def test_streaming_offsets_relative_to_data_section(tmp_path, raster_tif):
         start, end = loaded.absolute_range(frame)
         assert blob[start : start + 4] == b"fLaC"
         assert end < len(blob)
+
+
+def test_cloud_url_public_endpoint_fallback():
+    """s3://, gs:// work without obstore via unsigned HTTPS endpoints."""
+    from unittest.mock import MagicMock, patch
+
+    from flac_raster_tpu.io.remote import RemoteFile, cloud_url_to_https
+
+    assert cloud_url_to_https("s3://bkt/a/b.flac") == "https://bkt.s3.amazonaws.com/a/b.flac"
+    assert cloud_url_to_https("gs://bkt/x.flac") == "https://storage.googleapis.com/bkt/x.flac"
+
+    payload = bytes(range(256))
+    def fake_head(url, timeout=10):
+        m = MagicMock()
+        m.headers = {"content-length": str(len(payload)), "accept-ranges": "bytes"}
+        m.raise_for_status = lambda: None
+        assert url == "https://bkt.s3.amazonaws.com/a/b.flac"
+        return m
+    def fake_get(url, headers=None, timeout=60):
+        a, b = map(int, headers["Range"].split("=")[1].split("-"))
+        m = MagicMock(); m.status_code = 206; m.content = payload[a:b+1]
+        return m
+    with patch("requests.head", side_effect=fake_head), \
+         patch("requests.get", side_effect=fake_get):
+        rf = RemoteFile("s3://bkt/a/b.flac")
+        assert rf.read_range(4, 7) == payload[4:8]
