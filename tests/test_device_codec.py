@@ -334,3 +334,34 @@ class TestCompressionParity:
         assert our_body <= ref_body, (our_body, ref_body)
         dec2 = decode_flac(ours, verify_crc=True)
         assert np.array_equal(dec2.samples, dec.samples)
+
+
+class TestPropertyRoundtrip:
+    """Randomized property test: decode(encode(x)) == x across the parameter
+    space (channels, lengths incl. tails, levels, signal classes, bps)."""
+
+    def test_random_configs(self):
+        from flac_raster_tpu.codec.fast_encoder import encode_flac_fast
+
+        rng = np.random.default_rng(2024)
+        for trial in range(12):
+            channels = int(rng.integers(1, 9))
+            n = int(rng.integers(1, 4)) * 4096 + int(rng.integers(0, 4096))
+            level = int(rng.integers(0, 9))
+            bps = int(rng.choice([8, 16, 24]))
+            lim = 1 << (bps - 1)
+            kind = trial % 3
+            if kind == 0:      # smooth random walk
+                x = np.cumsum(rng.integers(-lim // 64, lim // 64, (n, channels)), axis=0)
+                x = np.clip(x, -lim, lim - 1)
+            elif kind == 1:    # noise
+                x = rng.integers(-lim, lim, (n, channels))
+            else:              # piecewise constant
+                x = np.repeat(
+                    rng.integers(-lim, lim, (max(1, n // 97) + 1, channels)),
+                    97, axis=0)[:n]
+            x = x.astype(np.int64)
+            blob = encode_flac_fast(x, 44100, bps, level)
+            dec = decode_flac(blob, verify_crc=True)
+            assert np.array_equal(dec.samples.astype(np.int64), x), (
+                trial, channels, n, level, bps)
