@@ -14,7 +14,6 @@ import argparse
 import json
 import logging
 import sys
-import tempfile
 from pathlib import Path
 
 logger = logging.getLogger("flac_raster")

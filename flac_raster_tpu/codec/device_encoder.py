@@ -25,18 +25,12 @@ import numpy as np
 
 logger = logging.getLogger("flac_raster_tpu.device_encoder")
 
-import jax
 import jax.numpy as jnp
 
 from ..models.flac_format import StreamInfo, build_flac_header
 from ..ops.device_emit import plan_and_emit, worst_case_words
 from .decoder import md5_of_samples
-from .encoder import (
-    _BPS_CODES,
-    _SAMPLE_RATE_CODES,
-    EncoderConfig,
-    encode_flac,
-)
+from .encoder import _BPS_CODES, _SAMPLE_RATE_CODES, EncoderConfig
 from .fast_encoder import _blocksize_header, _emit_tail_frame
 from ..ops.device_codec import MAX_DEVICE_BPS
 

@@ -21,7 +21,6 @@ import gzip
 import json
 from typing import Any
 
-import numpy as np
 
 from ..ops.normalization import NormalizationParams
 from ..version import ENCODER_NAME

@@ -13,7 +13,6 @@ import ctypes
 import logging
 import os
 import subprocess
-import sysconfig
 from pathlib import Path
 
 import numpy as np

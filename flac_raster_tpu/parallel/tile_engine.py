@@ -22,8 +22,6 @@ complete sharded compute graph of the flagship workload.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
@@ -32,7 +30,7 @@ try:  # moved out of experimental in newer jax
     from jax import shard_map
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..ops.device_codec import plan_blocks
 from .mesh import tile_mesh
