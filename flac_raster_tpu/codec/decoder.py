@@ -226,6 +226,13 @@ def decode_flac(
     Returns int32 samples shaped (total_samples, channels) with the original
     bit depth preserved (no float scaling -- cf. reference ``converter.py:182``
     which receives float64 from libsndfile).
+
+    Note on validation: the native fast path verifies every frame's CRC-16
+    (which covers the header bytes) but skips the per-frame header CRC-8
+    check and some header sanity diagnostics the Python walk performs, so
+    error *messages* for corrupt input can differ between the two paths.
+    For precise diagnostics decode with the Python fallback
+    (``native`` unavailable); both paths reject corrupt frames.
     """
     buf = bytes(data) if not isinstance(data, (bytes, bytearray)) else bytes(data)
     streaminfo, blocks, frame_start = parse_flac_metadata(buf)
@@ -312,6 +319,8 @@ def decode_flac(
                     f"frame header CRC-8 mismatch at byte {hdr_start_byte}"
                 )
 
+        if chan_code > 10:
+            raise ValueError(f"reserved channel assignment {chan_code}")
         if chan_code <= 7:
             n_ch = chan_code + 1
             ch_bps = [streaminfo.bits_per_sample] * n_ch
@@ -320,6 +329,10 @@ def decode_flac(
             side_idx = 1 if chan_code in (_CH_LEFT_SIDE, _CH_MID_SIDE) else 0
             ch_bps = [streaminfo.bits_per_sample] * 2
             ch_bps[side_idx] += 1
+        if streaminfo.channels and n_ch != streaminfo.channels:
+            raise ValueError(
+                f"frame channel count {n_ch} != STREAMINFO {streaminfo.channels}"
+            )
         if size_code:
             base_bps = _BPS_TABLE.get(size_code)
             if base_bps is None:

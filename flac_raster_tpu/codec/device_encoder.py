@@ -119,16 +119,20 @@ def encode_flac_device(
 
     lo = -(1 << (bits_per_sample - 1))
     hi = (1 << (bits_per_sample - 1)) - 1
-    if zero_point or samples.dtype != np.int32:
-        # dtype-guaranteed range under the shift map: check the endpoints
+    smp = samples
+    if zero_point:
+        # shift fast lane: the dtype endpoints must be safe because the
+        # subtraction happens in-graph on the raw upload
         info = np.iinfo(samples.dtype)
         if info.min - zero_point < lo or info.max - zero_point > hi:
             raise ValueError("dtype range exceeds bits_per_sample under zero_point")
-        smp = samples
     else:
-        smp = samples
+        # match encode_flac_fast's drop-in contract: check the ACTUAL sample
+        # range, not the dtype's (int64/int16 data that fits bps is fine)
         if smp.min() < lo or smp.max() > hi:
             raise ValueError("samples exceed bits_per_sample range")
+        if smp.dtype != np.int32:
+            smp = smp.astype(np.int32)
 
     cfg = EncoderConfig.from_level(compression_level)
     sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)

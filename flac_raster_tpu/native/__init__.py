@@ -10,6 +10,7 @@ stays importable anywhere.  ctypes keeps the binding layer dependency-free
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -31,7 +32,12 @@ __all__ = [
 _HERE = Path(__file__).parent
 _SRC = _HERE / "bitpack.cpp"
 _LIB_PATH = _HERE / "libfrtpu.so"
+_STAMP_PATH = _HERE / "libfrtpu.so.sha256"
 _lib = None
+
+
+def _src_digest() -> str:
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
 
 
 def _build() -> bool:
@@ -40,9 +46,22 @@ def _build() -> bool:
            str(_SRC), "-o", str(_LIB_PATH)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        _STAMP_PATH.write_text(_src_digest())
         return True
     except Exception as exc:  # pragma: no cover - depends on toolchain
         logger.warning("native build failed (%s); using numpy fallback", exc)
+        return False
+
+
+def _is_current() -> bool:
+    # Reuse is gated on a content hash of the C++ source, not mtimes: git
+    # checkouts do not preserve mtimes, so an mtime check could silently load
+    # a stale (or unreviewed prebuilt) binary after the source changed.
+    if not _LIB_PATH.exists() or not _STAMP_PATH.exists():
+        return False
+    try:
+        return _STAMP_PATH.read_text().strip() == _src_digest()
+    except OSError:  # pragma: no cover
         return False
 
 
@@ -50,7 +69,7 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+    if not _is_current():
         if not _build():
             _lib = False
             return _lib

@@ -299,6 +299,9 @@ inline int64_t sext(uint64_t v, int n) {
 }
 
 // Decode one subframe into x[0..n). Returns false on malformed input.
+// `order > n` (warmup longer than the block) is rejected BEFORE any warmup
+// write: x has exactly n slots, so a crafted header (e.g. blocksize 1 with
+// LPC order 32) must not be allowed to scribble past the buffer.
 bool decode_subframe(BitRd& br, int64_t* x, int32_t n, int bps) {
     if (br.read(1)) return false;                 // padding bit
     uint32_t type = (uint32_t)br.read(6);
@@ -308,7 +311,7 @@ bool decode_subframe(BitRd& br, int64_t* x, int32_t n, int bps) {
         while (br.ok && br.read(1) == 0) ++wasted;
     }
     int ebps = bps - wasted;
-    if (!br.ok || ebps <= 0) return false;
+    if (!br.ok || ebps <= 0 || ebps > 33) return false;
 
     if (type == 0) {                              // constant
         int64_t v = sext(br.read(ebps), ebps);
@@ -317,6 +320,7 @@ bool decode_subframe(BitRd& br, int64_t* x, int32_t n, int bps) {
         for (int32_t i = 0; i < n; ++i) x[i] = sext(br.read(ebps), ebps);
     } else if (type >= 8 && type <= 12) {         // fixed
         int order = (int)type - 8;
+        if (order > n) return false;
         for (int o = 0; o < order; ++o) x[o] = sext(br.read(ebps), ebps);
         int64_t end = decode_residual_c(br.buf, br.nbits, br.pos, n, order, x + order);
         if (end < 0) return false;
@@ -330,6 +334,7 @@ bool decode_subframe(BitRd& br, int64_t* x, int32_t n, int bps) {
         }
     } else if (type >= 32) {                      // lpc
         int order = (int)type - 31;
+        if (order > n) return false;
         for (int o = 0; o < order; ++o) x[o] = sext(br.read(ebps), ebps);
         int precision = (int)br.read(4) + 1;
         if (precision == 16) return false;
@@ -405,10 +410,15 @@ int64_t decode_frames_c(const uint8_t* buf,
         br.read(8);                                 // crc8 (verified by caller)
         if (!br.ok) return -2;
 
+        if (chan_code > 10) return -1;              // 11-15 reserved
         int n_ch = chan_code <= 7 ? (int)chan_code + 1 : 2;
+        // The caller sized `out` for STREAMINFO's channel count; a frame
+        // claiming a different count would interleave out of bounds.
+        if (n_ch != stream_channels) return -1;
         static const int32_t BPS_T[8] = {0,8,12,0,16,20,24,32};
         int base_bps = size_code ? BPS_T[size_code] : stream_bps;
         if (size_code && !base_bps) return -1;
+        if (base_bps > 32) return -1;
 
         if (total + blocksize > expected_samples) return -1;  // overrun guard
         if (chan_cap < (int64_t)blocksize * n_ch) {
