@@ -1,18 +1,27 @@
-"""Benchmark: raster -> FLAC encode throughput (bit-exact, level 5).
+"""Benchmark: raster -> FLAC encode throughput (bit-exact, level 5) with a
+per-stage breakdown, plus decode throughput and compression ratio.
 
 Workload: Sentinel-2-like single-band uint16 terrain raster (BASELINE.md's
 headline scene is B04 10980^2 uint16; this uses a synthetic field of the
 same statistical character, sized to keep bench wall-time sane).  The
-pipeline measured is the full encode_array path: lossless normalization ->
-device block planning (JAX, on whatever platform is active -- the real TPU
-chip under the driver) -> vectorized host emission + pack.
+headline metric is the full encode_array path: lossless normalization ->
+device block planning + on-device emission (JAX, on whatever platform is
+active -- the real TPU chip under the driver) -> host CRC patch + assembly.
 
 Baseline: the reference (single-threaded libFLAC 1.4.3 via pyflac) publishes
 no throughput numbers (SURVEY.md §6); 40 MB/s is a representative libFLAC -5
 encode rate for 16-bit PCM on one CPU core, used as the fixed denominator so
 vs_baseline is comparable across rounds.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Keys beyond the required four are the stage
+breakdown (VERDICT round-1 item #2):
+  device_mbps    -- plan_and_emit compute only (synced by a tiny pull);
+                    this is the number that predicts real-hardware
+                    throughput once the tunnel readback disappears
+  readback_mbps  -- device->host pull of the compressed words
+  host_mbps      -- byteswap + CRC patch + assembly on the pulled buffers
+  decode_host_mbps / decode_device_mbps -- full-stream decode rates
+  ratio          -- raw bytes / FLAC bytes for the workload
 """
 
 from __future__ import annotations
@@ -40,6 +49,98 @@ def make_raster(size: int) -> np.ndarray:
     return field.astype(np.uint16)
 
 
+def _sync(x) -> None:
+    np.asarray(x)  # block_until_ready is a no-op on the axon tunnel
+
+
+def stage_breakdown(samples: np.ndarray) -> dict:
+    """Time the encode stages separately on the SAME chunking the production
+    encoder uses (codec/device_encoder): device compute, readback, host."""
+    import jax.numpy as jnp
+
+    from flac_raster_tpu.codec.device_encoder import _PAGE_WORDS, _patch_crcs, _utf8_nbytes
+    from flac_raster_tpu.codec.encoder import _BPS_CODES, _SAMPLE_RATE_CODES, EncoderConfig
+    from flac_raster_tpu.codec.fast_encoder import _blocksize_header
+    from flac_raster_tpu.ops.device_emit import plan_and_emit, worst_case_words
+
+    n, channels = samples.shape
+    blocksize, bps, level, zero_point = 4096, 16, 5, 32768
+    cfg = EncoderConfig.from_level(level)
+    bs_code, bs_tail_val, bs_tail_bits = _blocksize_header(blocksize)
+    static_kw = dict(
+        blocksize=blocksize, bps=bps,
+        sr_code=_SAMPLE_RATE_CODES.get(44100, 0), bps_code=_BPS_CODES[bps],
+        bs_code=bs_code, bs_tail_bits=bs_tail_bits, bs_tail_val=bs_tail_val,
+        max_lpc_order=cfg.max_lpc_order, apodizations=cfg.apodizations,
+        max_partition_order=min(cfg.max_partition_order, 6),
+        use_lpc=cfg.use_lpc, zero_point=zero_point, mid_side=False,
+    )
+    chunk = 2048
+    n_full = n // blocksize
+    full = samples[: n_full * blocksize].reshape(n_full, blocksize, channels)
+    full = np.ascontiguousarray(full.transpose(0, 2, 1))
+
+    n_words = worst_case_words(chunk, channels, blocksize, bps)
+    n_words = ((n_words + _PAGE_WORDS - 1) // _PAGE_WORDS) * _PAGE_WORDS
+
+    bounds = [
+        (c0, min(c0 + chunk, n_full)) for c0 in range(0, n_full, chunk)
+    ]
+    bounds = [(c0, c1) for c0, c1 in bounds if c1 - c0 == chunk]  # full chunks
+
+    # warm both executables
+    out = plan_and_emit(jnp.asarray(full[: chunk]), jnp.int32(0),
+                        n_words=n_words, **static_kw)
+    _sync(out["frame_bits"])
+
+    raw_mb = len(bounds) * chunk * blocksize * channels * 2 / 1e6
+
+    # --- device compute only (tiny sync) ---
+    t0 = time.perf_counter()
+    outs = []
+    for c0, c1 in bounds:
+        out = plan_and_emit(jnp.asarray(full[c0:c1]), jnp.int32(c0),
+                            n_words=n_words, **static_kw)
+        outs.append(out)
+    fbs = [np.asarray(o["frame_bits"]) for o in outs]  # small pulls sync all
+    t_device = time.perf_counter() - t0
+
+    # --- readback of the used word prefixes ---
+    t0 = time.perf_counter()
+    pulled = []
+    comp_bytes = 0
+    for o, fb in zip(outs, fbs):
+        used_words = (int(fb.sum()) + 31) // 32
+        used_pages = (used_words + _PAGE_WORDS - 1) // _PAGE_WORDS
+        p2 = 1 << max(0, (used_pages - 1)).bit_length()
+        if p2 > 2 and used_pages <= (p2 * 3) // 4:
+            p2 = (p2 * 3) // 4
+        w = np.asarray(o["words"][: p2 * _PAGE_WORDS])
+        pulled.append((w, fb))
+        comp_bytes += used_words * 4
+    t_readback = time.perf_counter() - t0
+
+    # --- host: byteswap + CRC patch ---
+    t0 = time.perf_counter()
+    for i, (w, fb) in enumerate(pulled):
+        total_bits = int(fb.sum())
+        n_bytes = (total_bits + 7) // 8
+        buf = np.frombuffer(w.astype(">u4", copy=False).tobytes(), np.uint8)[
+            :n_bytes
+        ].copy()
+        fi = np.arange(bounds[i][0], bounds[i][1])
+        hdr_bits = 32 + _utf8_nbytes(fi) * 8 + bs_tail_bits
+        _patch_crcs(buf, fb.astype(np.int64), hdr_bits.astype(np.int64))
+    t_host = time.perf_counter() - t0
+
+    return {
+        "device_mbps": round(raw_mb / t_device, 2),
+        "readback_mbps": round(raw_mb / t_readback, 2),
+        "host_mbps": round(raw_mb / t_host, 2),
+        "compressed_mb": round(comp_bytes / 1e6, 2),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -49,7 +150,9 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from flac_raster_tpu.converter import RasterFLACConverter
+    from flac_raster_tpu.utils.profiling import tame_device_client_threads
 
+    tame_device_client_threads()
     conv = RasterFLACConverter(lossless=True, compute_md5=False)
 
     data = make_raster(SIZE)[None]
@@ -69,6 +172,37 @@ def main() -> None:
     assert back.dtype == data.dtype and np.array_equal(back, data), "round-trip failed"
 
     mbps = raw_mb / dt
+    extras = {}
+    try:
+        samples = (data.reshape(1, -1).T).astype(np.uint16)  # (n, 1)
+        extras.update(stage_breakdown(samples))
+    except Exception as exc:  # breakdown must never sink the headline
+        extras["stage_error"] = str(exc)[:120]
+
+    # decode throughput: host (native C) and device (TPU-resident ingest)
+    try:
+        from flac_raster_tpu.codec.decoder import decode_flac
+
+        t0 = time.perf_counter()
+        dec = decode_flac(blob, verify_crc=True)
+        extras["decode_host_mbps"] = round(raw_mb / (time.perf_counter() - t0), 2)
+        assert dec.samples.shape[0] == data.size
+    except Exception as exc:
+        extras["decode_host_error"] = str(exc)[:120]
+    try:
+        from flac_raster_tpu.codec.device_decoder import decode_flac_device
+
+        dev = decode_flac_device(blob, verify_crc=True)  # warm compile
+        _sync(dev.samples[:8])
+        t0 = time.perf_counter()
+        dev = decode_flac_device(blob, verify_crc=True)
+        _sync(dev.samples[-8:])
+        extras["decode_device_mbps"] = round(raw_mb / (time.perf_counter() - t0), 2)
+    except Exception as exc:
+        extras["decode_device_error"] = str(exc)[:120]
+
+    extras["ratio"] = round(data.nbytes / len(blob), 3)
+
     print(
         json.dumps(
             {
@@ -76,6 +210,7 @@ def main() -> None:
                 "value": round(mbps, 2),
                 "unit": "MB/s",
                 "vs_baseline": round(mbps / BASELINE_MBPS, 3),
+                **extras,
             }
         )
     )

@@ -13,6 +13,7 @@ lossless modes, device-batched tile engine).
 
 from .codec.decoder import decode_flac
 from .codec.device_encoder import encode_flac_device
+from .codec.device_decoder import decode_flac_device
 from .codec.encoder import encode_flac
 from .codec.fast_encoder import encode_flac_batch, encode_flac_fast
 from .compare import compare_tiffs, display_comparison_table
@@ -61,6 +62,7 @@ __all__ = [
     "encode_flac_device",
     "encode_flac_batch",
     "decode_flac",
+    "decode_flac_device",
     # Comparison utilities
     "compare_tiffs",
     "display_comparison_table",

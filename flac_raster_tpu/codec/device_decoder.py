@@ -1,0 +1,203 @@
+"""Device-resident FLAC decoding: compressed bytes up, PCM stays in HBM.
+
+Host responsibilities are O(metadata) + one linear CRC pass: parse the
+header, read the FRTP layout index (models/flac_format), verify frame
+CRC-16s over the *compressed* bytes (native C), and compute per-frame
+header bit lengths.  All per-sample work -- Rice chain, predictor restore,
+stereo un-decorrelation -- runs batched on device (ops/device_decode).
+
+Replaces the reference's libFLAC host decode role (``converter.py:181-182``)
+for TPU-resident ML ingest: the decoded tensor is returned as a jax.Array
+that never visits the host.  Streams without the layout index (foreign
+files), with wasted bits / escape partitions / other structure our encoders
+never emit, or wider than the device's int32 math fall back to the host
+decoder transparently (still returning a device array).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import numpy as np
+
+from ..models.flac_format import parse_flac_metadata, parse_layout_block
+from ..ops.device_codec import MAX_DEVICE_BPS
+from .decoder import DecodedStream, decode_flac, md5_of_samples
+
+logger = logging.getLogger("flac_raster_tpu.device_decoder")
+
+__all__ = ["decode_flac_device"]
+
+
+def _utf8_len_bytes(fi: np.ndarray) -> np.ndarray:
+    thr = np.array([0x80, 0x800, 0x10000, 0x200000, 0x4000000], np.int64)
+    return np.sum(fi[:, None] >= thr[None, :], axis=1) + 1
+
+
+def _bs_tail_bits(blocksize: int) -> int:
+    from .fast_encoder import _blocksize_header
+
+    return _blocksize_header(blocksize)[2]
+
+
+def _gather_windows_jit(maxB: int):
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=())
+    def gather(body_d, offs):
+        iota = jnp.arange(maxB, dtype=jnp.int32)
+        idx = jnp.clip(offs[:, None] + iota[None, :], 0, body_d.shape[0] - 1)
+        return jnp.take(body_d, idx, axis=0)
+
+    return gather
+
+
+# one jitted gather per window width (module-level cache: re-calling
+# decode_flac_device must not re-trace)
+_GATHER_CACHE: dict[int, object] = {}
+
+
+def _host_fallback(buf: bytes, verify_crc: bool, reason: str) -> DecodedStream:
+    import jax.numpy as jnp
+
+    logger.debug("device decode fallback (%s)", reason)
+    dec = decode_flac(buf, verify_crc=verify_crc)
+    dec.samples = jnp.asarray(dec.samples)
+    return dec
+
+
+def decode_flac_device(
+    data,
+    verify_crc: bool = True,
+    verify_md5: bool = False,
+    chunk_frames: int = 256,
+) -> DecodedStream:
+    """Decode a FLAC stream with the device pipeline.
+
+    Returns a DecodedStream whose ``samples`` is a **jax.Array** of shape
+    (total_samples, channels) int32 resident on the default device.  Output
+    values are bit-identical to codec/decoder.decode_flac (tested).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.device_decode import decode_frames_device
+
+    buf = bytes(data) if not isinstance(data, (bytes, bytearray)) else bytes(data)
+    streaminfo, blocks, frame_start = parse_flac_metadata(buf)
+    si = streaminfo
+    layout = parse_layout_block(blocks)
+    N = si.max_blocksize
+    C, bps = si.channels, si.bits_per_sample
+
+    eligible = (
+        layout is not None
+        and si.min_blocksize == si.max_blocksize
+        and N >= 64
+        and (N & (N - 1)) == 0
+        and 1 <= C <= 8
+        and bps + (1 if C == 2 else 0) <= MAX_DEVICE_BPS + 1
+        and si.total_samples > 0
+    )
+    if not eligible:
+        return _host_fallback(buf, verify_crc, "no layout index / unsupported shape")
+
+    total = si.total_samples
+    full_frames = total // N
+    tail_samples = total - full_frames * N
+    if len(layout) != full_frames + (1 if tail_samples else 0):
+        return _host_fallback(buf, verify_crc, "layout/frame-count mismatch")
+
+    arr = np.frombuffer(buf, np.uint8)
+    sizes = np.asarray(layout, np.int64)
+    offsets = frame_start + np.concatenate([[0], np.cumsum(sizes)])
+    if offsets[-1] != len(buf):
+        return _host_fallback(buf, verify_crc, "layout/body-size mismatch")
+
+    if verify_crc:
+        from .. import native
+
+        if native.available():
+            calc = native.crc16_spans(arr, offsets[:-1], sizes - 2)
+            stored = (
+                arr[offsets[:-1] + sizes - 2].astype(np.uint16) << 8
+            ) | arr[offsets[:-1] + sizes - 1]
+            bad = np.nonzero(calc != stored)[0]
+            if bad.size:
+                raise ValueError(
+                    f"frame CRC-16 mismatch at byte {int(offsets[bad[0]])}"
+                )
+
+    vendor, comments = "", {}
+    from ..models.flac_format import BLOCK_VORBIS_COMMENT, parse_vorbis_comments
+
+    for b in blocks:
+        if b.block_type == BLOCK_VORBIS_COMMENT:
+            vendor, comments = parse_vorbis_comments(b.data)
+
+    # header bits incl. CRC-8 (fixed-blocksize: frame number = index)
+    fi = np.arange(full_frames, dtype=np.int64)
+    hdr_bits_all = (32 + _utf8_len_bytes(fi) * 8 + _bs_tail_bits(N) + 8).astype(
+        np.int32
+    )
+
+    if full_frames:
+        max_size = int(sizes[:full_frames].max())
+    else:
+        max_size = 16
+    maxB = ((max_size + 3) // 4) * 4 + 8
+
+    # pad the body upload to a power-of-two bucket (bounds compile count)
+    body_len = 1 << max(6, (len(arr) - 1).bit_length())
+    body = np.zeros(body_len, np.uint8)
+    body[: len(arr)] = arr
+    body_dev = jnp.asarray(body)
+
+    # bucket the window width so compiled shapes stay O(log) across files
+    maxB = 1 << max(4, (maxB - 1).bit_length())
+    gather_windows = _GATHER_CACHE.setdefault(maxB, _gather_windows_jit(maxB))
+
+    parts = []
+    for f0 in range(0, full_frames, chunk_frames):
+        f1 = min(f0 + chunk_frames, full_frames)
+        B = f1 - f0
+        Bp = 1 << max(0, (B - 1)).bit_length()
+        offs = np.zeros(Bp, np.int32)
+        offs[:B] = offsets[f0:f1]
+        hb = np.full(Bp, int(hdr_bits_all[f0]), np.int32)
+        hb[:B] = hdr_bits_all[f0:f1]
+        windows = gather_windows(body_dev, jnp.asarray(offs))
+        samples, err = decode_frames_device(
+            windows, jnp.asarray(hb), C=C, bps=bps, N=N
+        )
+        if bool(np.asarray(err[:B]).any()):
+            return _host_fallback(buf, verify_crc, "in-graph structure flag")
+        parts.append(samples[:B].reshape(B * N, C))
+
+    if tail_samples:
+        # the tail frame is a partial block: decode it on host (tiny) by
+        # wrapping its bytes in a minimal stream
+        from ..models.flac_format import StreamInfo, build_flac_header
+
+        tail_si = StreamInfo(
+            min_blocksize=si.min_blocksize,
+            max_blocksize=si.max_blocksize,
+            min_framesize=0,
+            max_framesize=0,
+            sample_rate=si.sample_rate,
+            channels=C,
+            bits_per_sample=bps,
+            total_samples=tail_samples,
+        )
+        mini = build_flac_header(tail_si) + buf[offsets[full_frames] :]
+        tail_dec = decode_flac(mini, verify_crc=verify_crc)
+        parts.append(jnp.asarray(tail_dec.samples))
+
+    samples_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    result = DecodedStream(samples_dev, si, comments, vendor)
+    if verify_md5 and si.md5 != b"\x00" * 16:
+        if md5_of_samples(np.asarray(samples_dev), bps) != si.md5:
+            raise ValueError("decoded audio MD5 mismatch")
+    return result

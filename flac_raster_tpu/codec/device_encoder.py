@@ -135,6 +135,9 @@ def encode_flac_device(
             smp = smp.astype(np.int32)
 
     cfg = EncoderConfig.from_level(compression_level)
+    from ..ops.stereo import midside_ok
+
+    use_ms = midside_ok(channels, bits_per_sample, cfg.mid_side, device=True)
     sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)
     bps_code = _BPS_CODES[bits_per_sample]
     bs_code, bs_tail_val, bs_tail_bits = _blocksize_header(blocksize)
@@ -150,9 +153,11 @@ def encode_flac_device(
         bs_code=bs_code,
         bs_tail_bits=bs_tail_bits,
         bs_tail_val=bs_tail_val,
-        max_lpc_order=min(cfg.max_lpc_order, 8),
+        max_lpc_order=cfg.max_lpc_order,
+        apodizations=cfg.apodizations,
         max_partition_order=min(cfg.max_partition_order, 6),
         use_lpc=cfg.use_lpc,
+        mid_side=use_ms,
     )
 
     # Pipeline: dispatch up to _INFLIGHT chunks ahead (jax dispatch is async),
@@ -181,7 +186,9 @@ def encode_flac_device(
             xc = np.concatenate(
                 [xc, np.zeros((f_pad - Fc, channels, blocksize), np.int32)]
             )
-        n_words = worst_case_words(f_pad, channels, blocksize, bits_per_sample)
+        n_words = worst_case_words(
+            f_pad, channels, blocksize, bits_per_sample + (1 if use_ms else 0)
+        )
         n_words = ((n_words + _PAGE_WORDS - 1) // _PAGE_WORDS) * _PAGE_WORDS
         out = plan_and_emit(
             jnp.asarray(xc), jnp.int32(c0), n_words=n_words,
@@ -201,11 +208,14 @@ def encode_flac_device(
         total_bits = int(frame_bits.sum())
         n_bytes = (total_bits + 7) // 8
         used_words = (total_bits + 31) // 32
-        # pull the used prefix in one power-of-two-sized slice (few compiled
-        # shapes, at most 2x overfetch)
+        # pull the used prefix in one bucketed slice; buckets are {1, 1.5} x
+        # powers of two pages, so overfetch is <= 33% (was <= 100% with pure
+        # powers of two) while compiled slice shapes stay O(log n)
         used_pages = (used_words + _PAGE_WORDS - 1) // _PAGE_WORDS
         n_pages = out["words"].shape[0] // _PAGE_WORDS
         p2 = 1 << max(0, (used_pages - 1)).bit_length()
+        if p2 > 2 and used_pages <= (p2 * 3) // 4:
+            p2 = (p2 * 3) // 4
         p2 = min(max(p2, 1), n_pages)
         words = np.asarray(out["words"][: p2 * _PAGE_WORDS])
         if debug:
@@ -254,5 +264,6 @@ def encode_flac_device(
         total_samples=n,
         md5=md5,
     )
-    header = build_flac_header(streaminfo, comments, vendor, padding)
+    header = build_flac_header(streaminfo, comments, vendor, padding,
+                               frame_sizes=all_sizes)
     return bytes(header) + b"".join(chunks)

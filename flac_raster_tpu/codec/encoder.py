@@ -47,19 +47,37 @@ _BPS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
 
 @dataclass
 class EncoderConfig:
-    """Per-level search knobs (our own preset table, level-5 centered)."""
+    """Per-level search knobs (our own preset table, level-5 centered).
+
+    ``mid_side`` mirrors libFLAC's ``-m``/``-M`` columns (full mid-side
+    search at levels 1-2 and 4-8, reference preset table
+    ``docs/sonos-pyflac.txt:6910-6937``); we run the full 4-assignment
+    search wherever libFLAC enables either mode.
+    """
 
     max_lpc_order: int
     max_partition_order: int
     use_lpc: bool
+    mid_side: bool = False
+    apodizations: tuple = ("tukey(0.5)",)
 
     @classmethod
     def from_level(cls, level: int) -> "EncoderConfig":
         level = max(0, min(8, level))
+        ms = level in (1, 2) or level >= 4
         if level <= 2:
-            return cls(max_lpc_order=0, max_partition_order=3 + level, use_lpc=False)
+            return cls(max_lpc_order=0, max_partition_order=3 + level,
+                       use_lpc=False, mid_side=ms)
         order = {3: 6, 4: 8, 5: 8, 6: 8, 7: 12, 8: 12}[level]
-        return cls(max_lpc_order=order, max_partition_order=6, use_lpc=True)
+        # levels 7-8 search extra apodization windows (libFLAC's -A column
+        # adds windows at 8; we use cheap tukey/welch variants)
+        apod = ("tukey(0.5)",)
+        if level == 7:
+            apod = ("tukey(0.5)", "tukey(0.25)")
+        elif level == 8:
+            apod = ("tukey(0.5)", "tukey(0.25)", "welch")
+        return cls(max_lpc_order=order, max_partition_order=6, use_lpc=True,
+                   mid_side=ms, apodizations=apod)
 
 
 class _TokenSink:
@@ -219,26 +237,31 @@ def _plan_subframe(x: np.ndarray, bps: int, cfg: EncoderConfig) -> _SubframePlan
             )
 
     if cfg.use_lpc and n > cfg.max_lpc_order * 2:
+        from ..ops.device_codec import apodization_window
+
         order = min(cfg.max_lpc_order, n - 1)
-        window = lpc_ops.tukey_window(n)
-        r = lpc_ops.autocorrelation(x, order, window)
-        coeffs, err = lpc_ops.levinson_durbin(r, order)
-        if np.isfinite(coeffs).all() and np.abs(coeffs).max() > 0:
+        for wname in cfg.apodizations:
+            window = apodization_window(wname, n).astype(np.float64)
+            r = lpc_ops.autocorrelation(x, order, window)
+            coeffs, err = lpc_ops.levinson_durbin(r, order)
+            if not (np.isfinite(coeffs).all() and np.abs(coeffs).max() > 0):
+                continue
             qc, shift = lpc_ops.quantize_lpc_coeffs(coeffs)
             res = lpc_ops.lpc_residual(x, qc, shift)
-            if not (res.size and (np.abs(res) >= residual_limit).any()):
-                z = zigzag(res)
-                method, po, part_ks, payload = _partition_plan(
-                    z, order, n, cfg.max_partition_order
+            if res.size and (np.abs(res) >= residual_limit).any():
+                continue
+            z = zigzag(res)
+            method, po, part_ks, payload = _partition_plan(
+                z, order, n, cfg.max_partition_order
+            )
+            precision = lpc_ops.MAX_QLP_PRECISION
+            bits = 8 + order * bps + 4 + 5 + order * precision + 2 + 4 + payload
+            if bits < best.bits:
+                best = _SubframePlan(
+                    "lpc", order, bits, residual=res, qcoeffs=qc.astype(np.int64),
+                    shift=shift, precision=precision,
+                    method=method, part_order=po, part_ks=part_ks,
                 )
-                precision = lpc_ops.MAX_QLP_PRECISION
-                bits = 8 + order * bps + 4 + 5 + order * precision + 2 + 4 + payload
-                if bits < best.bits:
-                    best = _SubframePlan(
-                        "lpc", order, bits, residual=res, qcoeffs=qc.astype(np.int64),
-                        shift=shift, precision=precision,
-                        method=method, part_order=po, part_ks=part_ks,
-                    )
     return best
 
 
@@ -297,6 +320,33 @@ def _emit_subframe(
     _emit_residual(sink, plan, x.size)
 
 
+def _choose_stereo(
+    L: np.ndarray, R: np.ndarray, bps: int, cfg: EncoderConfig
+) -> tuple[int, list[tuple["_SubframePlan", np.ndarray, int]]]:
+    """Full mid-side search for one 2-channel frame.
+
+    Plans L, R, mid=(L+R)>>1 at ``bps`` and side=L-R at ``bps+1``, then keeps
+    the channel assignment with the fewest exact bits (libFLAC ``-m``).
+    Returns (chan_code, [(plan, signal, slot_bps), (plan, signal, slot_bps)]).
+    """
+    L = L.astype(np.int64, copy=False)
+    R = R.astype(np.int64, copy=False)
+    mid = (L + R) >> 1
+    side = L - R
+    pL = _plan_subframe(L, bps, cfg)
+    pR = _plan_subframe(R, bps, cfg)
+    pM = _plan_subframe(mid, bps, cfg)
+    pS = _plan_subframe(side, bps + 1, cfg)
+    options = [
+        (pL.bits + pR.bits, 1, [(pL, L, bps), (pR, R, bps)]),
+        (pL.bits + pS.bits, 8, [(pL, L, bps), (pS, side, bps + 1)]),
+        (pS.bits + pR.bits, 9, [(pS, side, bps + 1), (pR, R, bps)]),
+        (pM.bits + pS.bits, 10, [(pM, mid, bps), (pS, side, bps + 1)]),
+    ]
+    _, chan_code, slots = min(options, key=lambda o: o[0])
+    return chan_code, slots
+
+
 def encode_flac(
     samples: np.ndarray,
     sample_rate: int,
@@ -339,9 +389,21 @@ def encode_flac(
     n_frames = (n + blocksize - 1) // blocksize
     min_fs = None
     max_fs = None
+    use_ms = channels == 2 and cfg.mid_side and bits_per_sample + 1 <= 32
     for fi in range(n_frames):
         fstart = fi * blocksize
         bs = min(blocksize, n - fstart)
+        # frame-level stereo decorrelation (libFLAC -m; planned up front
+        # because the channel assignment lands in the frame header)
+        if use_ms:
+            chan_code, slots = _choose_stereo(
+                smp[fstart : fstart + bs, 0],
+                smp[fstart : fstart + bs, 1],
+                bits_per_sample,
+                cfg,
+            )
+        else:
+            chan_code, slots = channels - 1, None
         frame_bit_start = sink.bit_pos
         assert frame_bit_start % 8 == 0
         # --- frame header ---
@@ -356,7 +418,7 @@ def encode_flac(
             bs_code, bs_tail = 7, (bs - 1, 16)
         sink.put(bs_code, 4)
         sink.put(sr_code, 4)
-        sink.put(channels - 1, 4)  # independent channels
+        sink.put(chan_code, 4)
         sink.put(bps_code, 3)
         sink.put(0, 1)
         for val, nbits in _utf8_coded_number(fi):
@@ -371,10 +433,14 @@ def encode_flac(
         sink.put(0, 8)  # crc8 placeholder
 
         # --- subframes ---
-        for ci in range(channels):
-            x = smp[fstart : fstart + bs, ci]
-            plan = _plan_subframe(x, bits_per_sample, cfg)
-            _emit_subframe(sink, plan, x, bits_per_sample)
+        if slots is not None:
+            for plan, x, slot_bps in slots:
+                _emit_subframe(sink, plan, x, slot_bps)
+        else:
+            for ci in range(channels):
+                x = smp[fstart : fstart + bs, ci]
+                plan = _plan_subframe(x, bits_per_sample, cfg)
+                _emit_subframe(sink, plan, x, bits_per_sample)
 
         # byte align + crc16 placeholder
         pad_bits = (-sink.bit_pos) % 8
@@ -419,5 +485,7 @@ def encode_flac(
         total_samples=n,
         md5=md5,
     )
-    header = build_flac_header(streaminfo, comments, vendor, padding)
+    frame_sizes = [e + 2 - s for s, e in frame_spans]
+    header = build_flac_header(streaminfo, comments, vendor, padding,
+                               frame_sizes=frame_sizes or None)
     return bytes(header) + bytes(body)

@@ -22,8 +22,11 @@ byte-compatible with the reference toolchain's readers.  The tail frame (a
 partial block) and sub-block streams reuse the scalar reference encoder
 (codec/encoder.py), which shares all format logic.
 
-Stream structure notes: fixed-blocksize stream, independent channels (no
-mid-side -- raster bands are not stereo audio), wasted-bits never used.
+Stream structure notes: fixed-blocksize stream; wasted-bits never used.
+2-channel streams get the full frame-level mid-side search (libFLAC ``-m``,
+levels 1-2 and 4-8): variants L/R/mid/side are planned in the same batched
+pass (side at bps+1 via the planner's per-block ``bps_arr``) and each frame
+keeps the cheapest of the four channel assignments (ops/stereo.py).
 """
 
 from __future__ import annotations
@@ -68,12 +71,14 @@ def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
     if bps > MAX_DEVICE_BPS:
         from ..ops.host_planner import plan_blocks_host
 
-        def planner(blocks):
+        def planner(blocks, bps_arr=None):
             return plan_blocks_host(
                 blocks,
+                bps_arr,
                 blocksize=blocksize,
                 bps=bps,
-                max_lpc_order=min(cfg.max_lpc_order, 8),
+                max_lpc_order=cfg.max_lpc_order,
+        apodizations=cfg.apodizations,
                 max_partition_order=min(cfg.max_partition_order, 6),
                 use_lpc=cfg.use_lpc,
             )
@@ -82,7 +87,8 @@ def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
     base = make_planner(
         blocksize=blocksize,
         bps=bps,
-        max_lpc_order=min(cfg.max_lpc_order, 8),
+        max_lpc_order=cfg.max_lpc_order,
+        apodizations=cfg.apodizations,
         max_partition_order=min(cfg.max_partition_order, 6),
         use_lpc=cfg.use_lpc,
     )
@@ -96,7 +102,7 @@ def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
     mesh = Mesh(np.array(devs), ("blocks",))
     shard = NamedSharding(mesh, P("blocks"))
 
-    def sharded_planner(blocks):
+    def sharded_planner(blocks, bps_arr=None):
         n_dev = len(devs)
         B = blocks.shape[0]
         pad = (-B) % n_dev
@@ -104,9 +110,18 @@ def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
             blocks = np.concatenate(
                 [blocks, np.zeros((pad, blocks.shape[1]), blocks.dtype)]
             )
+            if bps_arr is not None:
+                bps_arr = np.concatenate(
+                    [bps_arr, np.full(pad, bps, bps_arr.dtype)]
+                )
         import jax.numpy as jnp
 
-        plan = base(jax.device_put(jnp.asarray(blocks), shard))
+        barg = (
+            None
+            if bps_arr is None
+            else jax.device_put(jnp.asarray(bps_arr, jnp.int32), shard)
+        )
+        plan = base(jax.device_put(jnp.asarray(blocks), shard), barg)
         if pad:
             plan = {k: v[:B] for k, v in plan.items()}
         return plan
@@ -191,19 +206,34 @@ def _emit_chunk(
     bps: int,
     sr_code: int,
     bps_code: int,
+    chan_code: np.ndarray | None = None,
+    ch_bps: np.ndarray | None = None,
 ) -> tuple[bytes, np.ndarray]:
     """Emit one chunk of full frames.
 
     Args:
-        x: (F, C, N) int64 original samples.
+        x: (F, C, N) int64 subframe signals (post stereo-decorrelation when
+            mid-side is active -- slot values, not necessarily L/R).
         plan: planner output arrays reshaped to (F, C, ...), numpy.
         frame0: absolute index of the first frame in this chunk.
+        chan_code: optional (F,) frame-header channel assignment codes
+            (default independent channels, C-1).
+        ch_bps: optional (F, C) per-slot bit depths (side slots are bps+1).
     Returns:
         (packed bytes for the chunk, per-frame byte sizes (F,))
     """
     F, C, N = x.shape
     log2n = N.bit_length() - 1
     assert (1 << log2n) == N, "full-frame path requires power-of-two blocksize"
+    if ch_bps is None:
+        ch_bps = np.full((F, C), bps, np.int64)
+    else:
+        ch_bps = ch_bps.astype(np.int64)
+    if chan_code is None:
+        chan_code = np.full(F, C - 1, np.int64)
+    else:
+        chan_code = chan_code.astype(np.int64)
+    bmask = (np.int64(1) << ch_bps) - 1  # (F, C)
 
     kind = plan["kind"].astype(np.int64)
     order = plan["order"].astype(np.int64)
@@ -220,7 +250,6 @@ def _emit_chunk(
     is_lpc = kind == KIND_LPC
     is_verb = kind == KIND_VERBATIM
     is_const = kind == KIND_CONSTANT
-    bpsmask = np.uint64((1 << bps) - 1)
 
     # ---- frame/subframe layout (pure arithmetic) --------------------------
     utf8_v, utf8_l, n_bytes = _utf8_tokens(np.arange(frame0, frame0 + F))
@@ -239,7 +268,7 @@ def _emit_chunk(
     sf_start = (frame_start + hdr_bits + 8)[:, None] + sf_excl  # (F, C)
 
     lpcmeta_bits = np.where(is_lpc, 4 + 5 + order * precision, 0)
-    payload_base = np.where(is_rice, 8 + order * bps + lpcmeta_bits + 6, 8)
+    payload_base = np.where(is_rice, 8 + order * ch_bps + lpcmeta_bits + 6, 8)
     pbits = 4 + method
 
     g = _Group()
@@ -249,10 +278,10 @@ def _emit_chunk(
         (0b11111111111110 << 18)
         | (bs_code << 12)
         | (sr_code << 8)
-        | ((C - 1) << 4)
+        | (chan_code << 4)
         | (bps_code << 1)
-    )
-    g.add(np.full(F, hdr32, np.uint64), np.full(F, 32, np.int64), frame_start)
+    ).astype(np.uint64)
+    g.add(hdr32, np.full(F, 32, np.int64), frame_start)
     g.add(utf8_v, utf8_l, frame_start[:, None] + 32 + np.arange(6)[None, :] * 8)
     if bs_tail_bits:
         g.add(
@@ -270,17 +299,21 @@ def _emit_chunk(
     g.add((type_code.astype(np.uint64)) << np.uint64(1), np.full((F, C), 8, np.int64), sf_start)
 
     # warmup samples (fixed + lpc)
-    j8 = np.arange(8)
+    from ..ops.device_codec import MAX_ORDER_SLOTS
+
+    j8 = np.arange(MAX_ORDER_SLOTS)
     wu_used = (j8[None, None, :] < order[:, :, None]) & is_rice[:, :, None]
-    wu_vals = (x[:, :, :8].astype(np.int64) & np.int64((1 << bps) - 1)).astype(np.uint64)
+    wu_vals = (
+        x[:, :, :MAX_ORDER_SLOTS].astype(np.int64) & bmask[:, :, None]
+    ).astype(np.uint64)
     g.add(
         np.where(wu_used, wu_vals, 0),
-        np.where(wu_used, bps, 0),
-        sf_start[:, :, None] + 8 + j8[None, None, :] * bps,
+        np.where(wu_used, ch_bps[:, :, None], 0),
+        sf_start[:, :, None] + 8 + j8[None, None, :] * ch_bps[:, :, None],
     )
 
     # lpc meta: precision-1 (4), shift (5), qcoeffs (order x precision)
-    lpc_base = sf_start + 8 + order * bps
+    lpc_base = sf_start + 8 + order * ch_bps
     g.add(
         np.where(is_lpc, precision - 1, 0).astype(np.uint64),
         np.where(is_lpc, 4, 0),
@@ -309,8 +342,8 @@ def _emit_chunk(
 
     # constant value
     g.add(
-        np.where(is_const, x[:, :, 0] & np.int64((1 << bps) - 1), 0).astype(np.uint64),
-        np.where(is_const, bps, 0),
+        np.where(is_const, x[:, :, 0] & bmask, 0).astype(np.uint64),
+        np.where(is_const, ch_bps, 0),
         sf_start + 8,
     )
 
@@ -323,11 +356,11 @@ def _emit_chunk(
     q = (z >> ku).astype(np.int64)
     in_resid = i >= order[:, :, None]
     rice_tok = is_rice[:, :, None] & in_resid
-    L = np.where(rice_tok, q + 1 + k, np.where(is_verb[:, :, None], bps, 0))
+    L = np.where(rice_tok, q + 1 + k, np.where(is_verb[:, :, None], ch_bps[:, :, None], 0))
     vals = np.where(
         rice_tok,
         (np.uint64(1) << ku) | (z & ((np.uint64(1) << ku) - np.uint64(1))),
-        (x & np.int64((1 << bps) - 1)).astype(np.uint64),
+        (x & bmask[:, :, None]).astype(np.uint64),
     )
     E = np.zeros_like(L)
     np.cumsum(L[:, :, :-1], axis=2, out=E[:, :, 1:])        # exclusive cumsum
@@ -353,9 +386,9 @@ def _emit_chunk(
 
     # consistency: computed layout must match the planner's exact bit counts
     sf_total = payload_base + np.where(is_rice, (pbits << po), 0) + E[:, :, -1] + L[:, :, -1]
-    sf_expected = np.where(is_const, 8 + bps, sf_bits)
-    if not np.array_equal(np.where(is_const, 8 + bps, sf_total), sf_expected):
-        bad = np.argwhere(np.where(is_const, 8 + bps, sf_total) != sf_expected)
+    sf_expected = np.where(is_const, 8 + ch_bps, sf_bits)
+    if not np.array_equal(np.where(is_const, 8 + ch_bps, sf_total), sf_expected):
+        bad = np.argwhere(np.where(is_const, 8 + ch_bps, sf_total) != sf_expected)
         raise AssertionError(f"emitter/planner bit mismatch at {bad[:4]}")
 
     buf = g.pack_array(total_bits)
@@ -394,6 +427,52 @@ def _emit_chunk(
     return buf.tobytes(), (frame_bits >> 3)
 
 
+def _plan_frames_chunk(
+    xc: np.ndarray,
+    planner,
+    blocksize: int,
+    bps: int,
+    block_dtype,
+    mid_side: bool,
+):
+    """Plan one chunk of full frames, including the mid-side variant search.
+
+    Args:
+        xc: (F, C, N) int64 frame-major samples.
+    Returns:
+        (plan dict with (F, C, ...) arrays, x_emit (F, C, N) slot signals,
+         chan_code (F,) or None, ch_bps (F, C) or None)
+    """
+    Fc, C, N = xc.shape
+    if mid_side:
+        from ..ops.stereo import build_variants, select_plans
+
+        var = build_variants(xc)                     # (F, 4, N) int64
+        blocks = var.reshape(Fc * 4, N).astype(block_dtype)
+        bps_arr = np.tile(np.array([bps, bps, bps, bps + 1], np.int32), Fc)
+        B = blocks.shape[0]
+        b_pad = 1 << max(0, (B - 1)).bit_length()
+        if b_pad != B:
+            blocks = np.concatenate(
+                [blocks, np.zeros((b_pad - B, N), block_dtype)]
+            )
+            bps_arr = np.concatenate([bps_arr, np.full(b_pad - B, bps, np.int32)])
+        plan_dev = planner(blocks, bps_arr)
+        plan4 = {k: np.asarray(v)[:B] for k, v in plan_dev.items()}
+        return select_plans(plan4, var, bps)
+    blocks = xc.reshape(Fc * C, N).astype(block_dtype)
+    B = blocks.shape[0]
+    b_pad = 1 << max(0, (B - 1)).bit_length()
+    if b_pad != B:
+        blocks = np.concatenate([blocks, np.zeros((b_pad - B, N), block_dtype)])
+    plan_dev = planner(blocks)
+    plan = {
+        k: np.asarray(v)[:B].reshape((Fc, C) + np.asarray(v).shape[1:])
+        for k, v in plan_dev.items()
+    }
+    return plan, xc, None, None
+
+
 def _emit_tail_frame(
     x_tail: np.ndarray,
     frame_number: int,
@@ -406,6 +485,16 @@ def _emit_tail_frame(
     from ..ops.crc import crc16 as crc16_one, crc8 as crc8_one
 
     bs, channels = x_tail.shape
+    from ..ops.stereo import midside_ok
+
+    slots = None
+    chan_code = channels - 1
+    if midside_ok(channels, bps, cfg.mid_side):
+        from .encoder import _choose_stereo
+
+        chan_code, slots = _choose_stereo(
+            x_tail[:, 0], x_tail[:, 1], bps, cfg
+        )
     sink = _TokenSink()
     sink.put(0b11111111111110, 14)
     sink.put(0, 1)
@@ -418,7 +507,7 @@ def _emit_tail_frame(
         code, tail = 7, (bs - 1, 16)
     sink.put(code, 4)
     sink.put(sr_code, 4)
-    sink.put(channels - 1, 4)
+    sink.put(chan_code, 4)
     sink.put(bps_code, 3)
     sink.put(0, 1)
     for val, nbits in _utf8_coded_number(frame_number):
@@ -427,10 +516,14 @@ def _emit_tail_frame(
         sink.put(*tail)
     hdr_end = sink.bit_pos // 8
     sink.put(0, 8)  # crc8 placeholder
-    for ci in range(channels):
-        xc = x_tail[:, ci].astype(np.int64)
-        plan = _plan_subframe(xc, bps, cfg)
-        _emit_subframe(sink, plan, xc, bps)
+    if slots is not None:
+        for plan, xc, slot_bps in slots:
+            _emit_subframe(sink, plan, xc, slot_bps)
+    else:
+        for ci in range(channels):
+            xc = x_tail[:, ci].astype(np.int64)
+            plan = _plan_subframe(xc, bps, cfg)
+            _emit_subframe(sink, plan, xc, bps)
     padb = (-sink.bit_pos) % 8
     if padb:
         sink.put(0, padb)
@@ -490,9 +583,13 @@ def encode_flac_fast(
         raise ValueError("samples exceed bits_per_sample range")
 
     cfg = EncoderConfig.from_level(compression_level)
-    wide = bits_per_sample > MAX_DEVICE_BPS
+    from ..ops.stereo import midside_ok
+
+    use_ms = midside_ok(channels, bits_per_sample, cfg.mid_side)
+    nominal_bps = bits_per_sample + 1 if use_ms else bits_per_sample
+    wide = nominal_bps > MAX_DEVICE_BPS
     if planner is None:
-        planner = _default_planner(blocksize, bits_per_sample, cfg)
+        planner = _default_planner(blocksize, nominal_bps, cfg)
     sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)
     bps_code = _BPS_CODES[bits_per_sample]
     block_dtype = np.int64 if wide else np.int32
@@ -505,26 +602,14 @@ def encode_flac_fast(
     sizes: list[np.ndarray] = []
     for c0 in range(0, n_full, plan_chunk_frames):
         c1 = min(c0 + plan_chunk_frames, n_full)
-        xc = full[c0:c1]
-        Fc = c1 - c0
-        blocks = xc.reshape(Fc * channels, blocksize).astype(block_dtype)
-        # Pad the batch to a power-of-two bucket so jit compiles only
-        # O(log(max_chunk)) distinct shapes instead of one per file size.
-        B = blocks.shape[0]
-        b_pad = 1 << max(0, (B - 1)).bit_length()
-        if b_pad != B:
-            blocks = np.concatenate(
-                [blocks, np.zeros((b_pad - B, blocksize), block_dtype)], axis=0
-            )
-        plan_dev = planner(blocks)
-        plan = {
-            key: np.asarray(val)[:B].reshape(
-                (Fc, channels) + np.asarray(val).shape[1:]
-            )
-            for key, val in plan_dev.items()
-        }
+        # Batches are padded to power-of-two buckets inside _plan_frames_chunk
+        # so jit compiles only O(log(max_chunk)) distinct shapes.
+        plan, x_emit, chan_code, ch_bps = _plan_frames_chunk(
+            full[c0:c1], planner, blocksize, bits_per_sample, block_dtype, use_ms
+        )
         data, fsizes = _emit_chunk(
-            xc, plan, c0, blocksize, bits_per_sample, sr_code, bps_code
+            x_emit, plan, c0, blocksize, bits_per_sample, sr_code, bps_code,
+            chan_code=chan_code, ch_bps=ch_bps,
         )
         chunks.append(data)
         sizes.append(fsizes)
@@ -549,7 +634,8 @@ def encode_flac_fast(
         total_samples=n,
         md5=md5,
     )
-    header = build_flac_header(streaminfo, comments, vendor, padding)
+    header = build_flac_header(streaminfo, comments, vendor, padding,
+                               frame_sizes=all_sizes)
     return bytes(header) + b"".join(chunks)
 
 
@@ -564,17 +650,22 @@ def encode_flac_batch(
     compute_md5: bool = True,
     planner=None,
     plan_chunk_blocks: int = 4096,
+    use_mesh: bool | None = None,
 ) -> list[bytes]:
     """Encode a batch of same-shaped streams with ONE device planning pass.
 
-    This is the tile-data-parallel entry point (SURVEY.md §2.4): all tiles'
-    blocks are planned in a single batched program (sharded across the mesh
-    by parallel/tile_engine when more than one device is visible), and only
-    the per-tile byte assembly runs on host.
+    This is the tile-data-parallel entry point (SURVEY.md §2.4).  With more
+    than one visible device the whole batch is planned AND emitted by the
+    (tiles x blocks) shard_map step (parallel/tile_engine
+    .encode_flac_batch_mesh -- byte-identical output, tested); otherwise all
+    tiles' blocks are planned in a single batched device program and the
+    vectorized host emitter assembles the bytes.
 
     Args:
         samples_batch: (T, n, channels) int samples.
         comments_list: optional per-tile VORBIS comment dicts (len T).
+        use_mesh: force (True) or forbid (False) the mesh path; default
+            auto-selects on device count.
     Returns:
         list of T complete FLAC streams.
     """
@@ -585,6 +676,24 @@ def encode_flac_batch(
     if comments_list is None:
         comments_list = [None] * T
     n_full = n // blocksize
+    if use_mesh is not False and planner is None:
+        import jax
+
+        if (
+            len(jax.devices()) > 1
+            and T > 0
+            and n_full > 0
+            and bits_per_sample <= MAX_DEVICE_BPS
+            and (blocksize & (blocksize - 1)) == 0
+            and blocksize % 64 == 0
+        ):
+            from ..parallel.tile_engine import encode_flac_batch_mesh
+
+            return encode_flac_batch_mesh(
+                samples_batch, sample_rate, bits_per_sample,
+                compression_level, blocksize, comments_list, vendor,
+                compute_md5,
+            )
     if (
         T == 0
         or n_full == 0
@@ -601,46 +710,61 @@ def encode_flac_batch(
         ]
 
     cfg = EncoderConfig.from_level(compression_level)
+    from ..ops.stereo import midside_ok
+
+    use_ms = midside_ok(channels, bits_per_sample, cfg.mid_side)
+    nominal_bps = bits_per_sample + 1 if use_ms else bits_per_sample
     if planner is None:
-        planner = _default_planner(blocksize, bits_per_sample, cfg)
+        planner = _default_planner(blocksize, nominal_bps, cfg)
     sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)
     bps_code = _BPS_CODES[bits_per_sample]
-    block_dtype = np.int64 if bits_per_sample > MAX_DEVICE_BPS else np.int32
+    block_dtype = np.int64 if nominal_bps > MAX_DEVICE_BPS else np.int32
 
     smp = samples_batch.astype(np.int64, copy=False)
     full = smp[:, : n_full * blocksize].reshape(T, n_full, blocksize, channels)
     full = np.ascontiguousarray(full.transpose(0, 1, 3, 2))  # (T, F, C, N)
-    blocks_per_tile = n_full * channels
-    all_blocks = full.reshape(T * blocks_per_tile, blocksize).astype(block_dtype)
 
-    # one batched planning pass, chunked + bucketed to bound memory/compiles
+    # one batched planning pass over all tiles' frames, chunked + bucketed
+    # to bound memory/compiles
+    frames_all = full.reshape(T * n_full, channels, blocksize)
+    FT = T * n_full
+    vars_per_frame = 4 if use_ms else channels
+    step = max(plan_chunk_blocks // vars_per_frame, n_full)
     plan_parts: dict[str, list[np.ndarray]] = {}
-    B_total = all_blocks.shape[0]
-    step = max(plan_chunk_blocks, blocks_per_tile)
-    for b0 in range(0, B_total, step):
-        b1 = min(b0 + step, B_total)
-        blocks = all_blocks[b0:b1]
-        B = blocks.shape[0]
-        b_pad = 1 << max(0, (B - 1)).bit_length()
-        if b_pad != B:
-            blocks = np.concatenate(
-                [blocks, np.zeros((b_pad - B, blocksize), block_dtype)], axis=0
-            )
-        plan_dev = planner(blocks)
-        for key, val in plan_dev.items():
-            plan_parts.setdefault(key, []).append(np.asarray(val)[:B])
+    x_parts: list[np.ndarray] = []
+    cc_parts: list[np.ndarray] = []
+    cb_parts: list[np.ndarray] = []
+    for f0 in range(0, FT, step):
+        f1 = min(f0 + step, FT)
+        plan, x_emit, cc, cb = _plan_frames_chunk(
+            frames_all[f0:f1], planner, blocksize, bits_per_sample,
+            block_dtype, use_ms,
+        )
+        for key, val in plan.items():
+            plan_parts.setdefault(key, []).append(val)
+        x_parts.append(x_emit)
+        if use_ms:
+            cc_parts.append(cc)
+            cb_parts.append(cb)
     plan_all = {
         key: np.concatenate(parts).reshape(
-            (T, n_full, channels) + parts[0].shape[1:]
+            (T, n_full) + parts[0].shape[1:]
         )
         for key, parts in plan_parts.items()
     }
+    x_all = np.concatenate(x_parts).reshape(T, n_full, channels, blocksize)
+    cc_all = np.concatenate(cc_parts).reshape(T, n_full) if use_ms else None
+    cb_all = (
+        np.concatenate(cb_parts).reshape(T, n_full, channels) if use_ms else None
+    )
 
     out: list[bytes] = []
     for t in range(T):
         plan_t = {key: val[t] for key, val in plan_all.items()}
         data, fsizes = _emit_chunk(
-            full[t], plan_t, 0, blocksize, bits_per_sample, sr_code, bps_code
+            x_all[t], plan_t, 0, blocksize, bits_per_sample, sr_code, bps_code,
+            chan_code=None if cc_all is None else cc_all[t],
+            ch_bps=None if cb_all is None else cb_all[t],
         )
         chunks = [data]
         sizes = [fsizes]
@@ -667,6 +791,7 @@ def encode_flac_batch(
             total_samples=n,
             md5=md5,
         )
-        header = build_flac_header(streaminfo, comments_list[t], vendor)
+        header = build_flac_header(streaminfo, comments_list[t], vendor,
+                                   frame_sizes=all_sizes)
         out.append(bytes(header) + b"".join(chunks))
     return out

@@ -259,9 +259,12 @@ class RasterFLACConverter:
 
         Each tile is normalized independently (per-tile min/max, matching the
         reference's spatial behavior -- SURVEY.md Q4) and carries its own
-        GEOSPATIAL_* metadata, but all tiles' FLAC block planning runs as a
-        single batched device program (codec/fast_encoder.encode_flac_batch),
-        replacing the reference's sequential per-tile temp-file loop
+        GEOSPATIAL_* metadata, but all tiles' FLAC encode runs batched on
+        device (codec/fast_encoder.encode_flac_batch); with more than one
+        visible device the whole batch is planned, emitted, and scatter-
+        packed by the (tiles x blocks) shard_map step
+        (parallel/tile_engine.encode_flac_batch_mesh).  Either way this
+        replaces the reference's sequential per-tile temp-file loop
         (``spatial_encoder.py:196-245``).
 
         Args:

@@ -28,6 +28,10 @@ __all__ = [
     "serialize_vorbis_comments",
     "parse_vorbis_comments",
     "BLOCK_STREAMINFO",
+    "BLOCK_APPLICATION",
+    "serialize_layout_block",
+    "parse_layout_block",
+    "LAYOUT_APP_ID",
     "BLOCK_PADDING",
     "BLOCK_VORBIS_COMMENT",
     "FLAC_MAGIC",
@@ -178,19 +182,62 @@ def parse_flac_metadata(data: bytes) -> tuple[StreamInfo, list[MetadataBlock], i
     return streaminfo, blocks, pos
 
 
+LAYOUT_APP_ID = b"FRTP"
+_LAYOUT_MAX_FRAMES = ((1 << 24) - 16) // 4  # must fit a 24-bit block length
+
+
+def serialize_layout_block(frame_sizes) -> bytes:
+    """APPLICATION payload carrying per-frame byte sizes (the decode index).
+
+    Standard FLAC decoders skip APPLICATION blocks; ours uses the index to
+    decode frames in parallel on device (ops/device_decode) and to serve
+    random access without walking the stream.  Layout: 4-byte id ``FRTP``,
+    u8 version, u8 flags, u16 reserved, u32 frame count, u32 BE sizes.
+    """
+    import numpy as np
+
+    sizes = np.asarray(frame_sizes, dtype=">u4")
+    return (
+        LAYOUT_APP_ID
+        + bytes([1, 0, 0, 0])
+        + len(sizes).to_bytes(4, "big")
+        + sizes.tobytes()
+    )
+
+
+def parse_layout_block(blocks) -> "np.ndarray | None":
+    """Extract per-frame byte sizes from the FRTP APPLICATION block."""
+    import numpy as np
+
+    for b in blocks:
+        if b.block_type == BLOCK_APPLICATION and b.data[:4] == LAYOUT_APP_ID:
+            if len(b.data) < 12 or b.data[4] != 1:
+                return None
+            count = int.from_bytes(b.data[8:12], "big")
+            arr = np.frombuffer(b.data[12 : 12 + 4 * count], dtype=">u4")
+            if arr.size != count:
+                return None
+            return arr.astype(np.int64)
+    return None
+
+
 def build_flac_header(
     streaminfo: StreamInfo,
     comments: dict[str, str] | None = None,
     vendor: str = "flac-raster-tpu",
     padding: int = 0,
+    frame_sizes=None,
 ) -> bytes:
     """Serialize magic + metadata blocks.  The VORBIS_COMMENT (with all
     GEOSPATIAL_* fields) is written up-front, before any frame bytes exist,
-    which is what makes spatial byte offsets stable (fixes SURVEY.md Q3a)."""
+    which is what makes spatial byte offsets stable (fixes SURVEY.md Q3a).
+    ``frame_sizes`` adds the FRTP layout APPLICATION block (decode index)."""
     out = bytearray(FLAC_MAGIC)
     blocks: list[tuple[int, bytes]] = [(BLOCK_STREAMINFO, streaminfo.to_bytes())]
     if comments is not None:
         blocks.append((BLOCK_VORBIS_COMMENT, serialize_vorbis_comments(comments, vendor)))
+    if frame_sizes is not None and 0 < len(frame_sizes) <= _LAYOUT_MAX_FRAMES:
+        blocks.append((BLOCK_APPLICATION, serialize_layout_block(frame_sizes)))
     if padding > 0:
         blocks.append((BLOCK_PADDING, b"\x00" * padding))
     for i, (btype, payload) in enumerate(blocks):

@@ -173,7 +173,9 @@ class SpatialIndex:
     @classmethod
     def from_dict(cls, data: Dict) -> "SpatialIndex":
         frames = [SpatialFrame.from_dict(fd) for fd in data["frames"]]
-        return cls(frames, data.get("crs"), Affine(*data["transform"]))
+        # reference indices serialize rasterio's 9-element affine (the
+        # projective row 0,0,1 included); only the first 6 carry information
+        return cls(frames, data.get("crs"), Affine(*data["transform"][:6]))
 
 
 def compute_tile_grid(height: int, width: int, tile_size: int) -> List[Tuple[int, int, int, int]]:

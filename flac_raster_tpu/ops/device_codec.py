@@ -74,7 +74,7 @@ KIND_VERBATIM = 1
 KIND_FIXED = 2
 KIND_LPC = 3
 
-MAX_ORDER_SLOTS = 8    # warmup/coeff array width in the plan
+MAX_ORDER_SLOTS = 12   # warmup/coeff array width in the plan (levels 7-8)
 PART_SLOTS = 64        # ks array width (max partition order 6 -> 64 parts)
 
 # test hook: run the Pallas rice-cost kernel in interpreter mode on CPU
@@ -94,7 +94,7 @@ def _use_pallas() -> bool:
 
 
 def _tukey_window(n: int, alpha: float = 0.5) -> np.ndarray:
-    """Host-precomputed tukey(0.5) window (float32 constant on device)."""
+    """Host-precomputed tukey window (float32 constant on device)."""
     if n == 1:
         return np.ones(1, np.float32)
     t = np.linspace(0.0, 1.0, n)
@@ -105,6 +105,24 @@ def _tukey_window(n: int, alpha: float = 0.5) -> np.ndarray:
     w[lo] = 0.5 * (1.0 + np.cos(np.pi * (2.0 * t[lo] / alpha - 1.0)))
     w[hi] = 0.5 * (1.0 + np.cos(np.pi * (2.0 * t[hi] / alpha - 2.0 / alpha + 1.0)))
     return w.astype(np.float32)
+
+
+def apodization_window(name: str, n: int) -> np.ndarray:
+    """Resolve an apodization spec string to a host float32 window.
+
+    Supported: ``tukey(ALPHA)`` (libFLAC's default family, reference preset
+    table ``sonos-pyflac.txt:6910-6937``), ``welch``, ``hann``.
+    """
+    if name.startswith("tukey(") and name.endswith(")"):
+        return _tukey_window(n, float(name[6:-1]))
+    if name == "welch":
+        t = np.linspace(-1.0, 1.0, n)
+        return (1.0 - t * t).astype(np.float32)
+    if name == "hann":
+        return (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / max(n - 1, 1))).astype(
+            np.float32
+        )
+    raise ValueError(f"unknown apodization {name!r}")
 
 
 def _zigzag_u32(r):
@@ -314,21 +332,31 @@ BlockPlan = dict  # plain-dict pytree; keys documented in plan_blocks
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blocksize", "bps", "max_lpc_order", "max_partition_order", "use_lpc"),
+    static_argnames=(
+        "blocksize", "bps", "max_lpc_order", "max_partition_order", "use_lpc",
+        "apodizations",
+    ),
 )
 def plan_blocks(
     blocks,
+    bps_arr=None,
     *,
     blocksize: int = 4096,
     bps: int = 16,
     max_lpc_order: int = 8,
     max_partition_order: int = 6,
     use_lpc: bool = True,
+    apodizations: tuple = ("tukey(0.5)",),
 ):
     """Plan FLAC subframes for a batch of full blocks.
 
     Args:
         blocks: (B, blocksize) int32 samples, |x| < 2**(bps-1), bps <= 26.
+        bps_arr: optional (B,) int32 per-block bit depth for the bit
+            accounting (mid-side streams mix bps and bps+1 subframes --
+            side channels carry one extra bit, reference preset behavior
+            ``sonos-pyflac.txt:6910-6937``).  ``bps`` must be an upper
+            bound; the search itself is depth-independent.
 
     Returns:
         BlockPlan pytree of int32 arrays:
@@ -349,10 +377,15 @@ def plan_blocks(
     B, N = x.shape
     assert N == blocksize
     idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+    bps_e = (
+        jnp.full((B,), bps, jnp.int32)
+        if bps_arr is None
+        else jnp.asarray(bps_arr, jnp.int32)
+    )
 
     # --- constant / verbatim -------------------------------------------------
     is_const = jnp.all(x == x[:, :1], axis=1)
-    verbatim_bits = jnp.full((B,), 8 + N * bps, jnp.int32)
+    verbatim_bits = (8 + N * bps_e).astype(jnp.int32)
 
     # --- fixed orders 0..4 ---------------------------------------------------
     fixed_rs = _fixed_residuals(x)
@@ -363,16 +396,19 @@ def plan_blocks(
         method, po, ks, payload, valid = _rice_search(
             z, order, N, max_partition_order, idx
         )
-        bits = 8 + order * bps + 2 + 4 + payload
+        bits = 8 + order * bps_e + 2 + 4 + payload
         bits = jnp.where(valid, bits, _BIG).astype(jnp.int32)
         cand_bits.append(bits)
         cand_plan.append((method, po, ks, r))
 
-    # --- LPC with estimated-best order (libFLAC level-5 style) ---------------
+    # --- LPC with estimated-best order (libFLAC level-5 style); levels 7-8
+    # additionally search several apodization windows and keep the cheapest
+    # (reference preset column -A, ``sonos-pyflac.txt:6910-6937``) -----------
     order = max_lpc_order
     precision = 15
-    if use_lpc and order > 0:
-        w = jnp.asarray(_tukey_window(N))
+
+    def _lpc_candidate(wname):
+        w = jnp.asarray(apodization_window(wname, N))
         xf = x.astype(jnp.float32) * w[None, :]
         rlags = [jnp.sum(xf * xf, axis=1)]
         for lag in range(1, order + 1):
@@ -384,7 +420,9 @@ def plan_blocks(
         bits_per_res = jnp.maximum(
             0.5 * jnp.log2(jnp.maximum(errs, 1e-9) / float(N)), 0.0
         )
-        est = (float(N) - o_f) * bits_per_res + o_f * float(bps + precision)
+        est = (float(N) - o_f) * bits_per_res + o_f * (
+            bps_e.astype(jnp.float32)[:, None] + float(precision)
+        )
         best_o = jnp.argmin(est, axis=1)               # (B,) 0-based
         order_arr = (best_o + 1).astype(jnp.int32)
         coeffs = jnp.take_along_axis(
@@ -408,9 +446,25 @@ def plan_blocks(
             z, order_arr, N, max_partition_order, idx
         )
         lpc_bits = (
-            8 + order_arr * bps + 4 + 5 + order_arr * precision + 2 + 4 + payload_l
+            8 + order_arr * bps_e + 4 + 5 + order_arr * precision + 2 + 4 + payload_l
         )
         lpc_bits = jnp.where(valid_l & lpc_safe, lpc_bits, _BIG).astype(jnp.int32)
+        return order_arr, qc, shift, r_lpc, method_l, po_l, ks_l, lpc_bits
+
+    if use_lpc and order > 0:
+        cands = [_lpc_candidate(wname) for wname in apodizations]
+        order_arr, qc, shift, r_lpc, method_l, po_l, ks_l, lpc_bits = cands[0]
+        for cand in cands[1:]:
+            o2, q2, s2, r2, m2, p2, k2, b2 = cand
+            pick = b2 < lpc_bits
+            order_arr = jnp.where(pick, o2, order_arr)
+            qc = jnp.where(pick[:, None], q2, qc)
+            shift = jnp.where(pick, s2, shift)
+            r_lpc = jnp.where(pick[:, None], r2, r_lpc)
+            method_l = jnp.where(pick, m2, method_l)
+            po_l = jnp.where(pick, p2, po_l)
+            ks_l = jnp.where(pick[:, None], k2, ks_l)
+            lpc_bits = jnp.where(pick, b2, lpc_bits)
     else:
         order_arr = jnp.zeros((B,), jnp.int32)
         qc = jnp.zeros((B, max(order, 1)), jnp.int32)
@@ -451,7 +505,7 @@ def plan_blocks(
 
     resid = jnp.where((idx[None, :] >= order_out[:, None]), resid, 0)
     bits_out = jnp.where(
-        is_const, 8 + bps, jnp.where(is_verb, verbatim_bits, best_bits)
+        is_const, 8 + bps_e, jnp.where(is_verb, verbatim_bits, best_bits)
     ).astype(jnp.int32)
 
     qc_pad = jnp.zeros((B, MAX_ORDER_SLOTS), jnp.int32)
@@ -479,17 +533,20 @@ def make_planner(
     max_lpc_order: int = 8,
     max_partition_order: int = 6,
     use_lpc: bool = True,
+    apodizations: tuple = ("tukey(0.5)",),
 ):
-    """Bind static config; returns ``fn(blocks) -> BlockPlan`` (jitted)."""
+    """Bind static config; returns ``fn(blocks, bps_arr=None) -> BlockPlan``."""
 
-    def fn(blocks):
+    def fn(blocks, bps_arr=None):
         return plan_blocks(
             blocks,
+            bps_arr,
             blocksize=blocksize,
             bps=bps,
             max_lpc_order=max_lpc_order,
             max_partition_order=max_partition_order,
             use_lpc=use_lpc,
+            apodizations=apodizations,
         )
 
     return fn

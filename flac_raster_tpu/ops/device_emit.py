@@ -38,6 +38,7 @@ from .device_codec import (
     KIND_FIXED,
     KIND_LPC,
     KIND_VERBATIM,
+    MAX_ORDER_SLOTS,
     plan_blocks,
 )
 
@@ -112,7 +113,7 @@ def _scatter_tokens(words, vals, lens, offs):
     static_argnames=(
         "blocksize", "bps", "sr_code", "bps_code", "bs_code", "bs_tail_bits",
         "bs_tail_val", "max_lpc_order", "max_partition_order", "use_lpc", "n_words",
-        "zero_point",
+        "zero_point", "mid_side", "apodizations",
     ),
 )
 def plan_and_emit(
@@ -131,6 +132,8 @@ def plan_and_emit(
     use_lpc: bool = True,
     n_words: int | None = None,
     zero_point: int = 0,
+    mid_side: bool = False,
+    apodizations: tuple = ("tukey(0.5)",),
 ):
     """Plan and emit one chunk of full frames entirely on device.
 
@@ -141,6 +144,11 @@ def plan_and_emit(
             ops/normalization, run in-graph so raw rasters upload directly).
         frame0: scalar int32 -- absolute index of the first frame.
         n_words: static output word-buffer size (>= worst_case_words).
+        mid_side: full frame-level stereo search (requires C == 2 and
+            bps + 1 <= MAX_DEVICE_BPS): variants L/R/mid/side are planned
+            in the same batched pass and the cheapest channel assignment
+            is selected in-graph (libFLAC ``-m``; same selection as
+            ops/stereo.select_plans, byte-identical to the host emitter).
 
     Returns:
         dict: words (n_words,) uint32 big-endian bit buffer,
@@ -150,37 +158,89 @@ def plan_and_emit(
     log2n = N.bit_length() - 1
     assert (1 << log2n) == N
     if n_words is None:
-        n_words = worst_case_words(F, C, N, bps)
+        n_words = worst_case_words(F, C, N, bps + (1 if mid_side else 0))
     # fused normalization: raw dtype -> int32 PCM (shift mode)
     x = x.astype(jnp.int32) - jnp.int32(zero_point)
 
-    plan = plan_blocks(
-        x.reshape(F * C, N),
-        blocksize=blocksize,
-        bps=bps,
-        max_lpc_order=max_lpc_order,
-        max_partition_order=max_partition_order,
-        use_lpc=use_lpc,
-    )
-    kind = plan["kind"].reshape(F, C)
-    order = plan["order"].reshape(F, C)
-    method = plan["method"].reshape(F, C)
-    po = plan["po"].reshape(F, C)
-    ks = plan["ks"].reshape(F, C, 64)
-    precision = plan["precision"].reshape(F, C)
-    shift = plan["shift"].reshape(F, C)
-    qcoeffs = plan["qcoeffs"].reshape(F, C, 8)
-    sf_bits = plan["subframe_bits"].reshape(F, C)
-    residual = plan["residual"].reshape(F, C, N)
+    if mid_side:
+        assert C == 2, "mid_side requires 2 channels"
+        L, R = x[:, 0], x[:, 1]
+        var = jnp.stack([L, R, (L + R) >> 1, L - R], axis=1)   # (F, 4, N)
+        bps_arr = jnp.tile(
+            jnp.asarray(np.array([bps, bps, bps, bps + 1], np.int32)), (F,)
+        )
+        plan = plan_blocks(
+            var.reshape(F * 4, N),
+            bps_arr,
+            blocksize=blocksize,
+            bps=bps + 1,
+            max_lpc_order=max_lpc_order,
+            max_partition_order=max_partition_order,
+            use_lpc=use_lpc,
+            apodizations=apodizations,
+        )
+        bits4 = plan["subframe_bits"].reshape(F, 4)
+        bL, bR, bM, bS = bits4[:, 0], bits4[:, 1], bits4[:, 2], bits4[:, 3]
+        tot = jnp.stack([bL + bR, bL + bS, bS + bR, bM + bS], axis=1)
+        a = jnp.argmin(tot, axis=1)                            # (F,)
+        s0 = jnp.asarray(np.array([0, 0, 3, 2], np.int32))[a]  # slot0 variant
+        s1 = jnp.asarray(np.array([1, 3, 1, 3], np.int32))[a]  # slot1 variant
+        chan_code = jnp.asarray(np.array([1, 8, 9, 10], np.int32))[a]
+        sel = jnp.stack([s0, s1], axis=1)                      # (F, 2)
+
+        def gather(v):
+            v4 = v.reshape((F, 4) + v.shape[1:])
+            idx = sel.reshape((F, 2) + (1,) * (v4.ndim - 2))
+            return jnp.take_along_axis(v4, idx, axis=1)
+
+        plan = {k: gather(v) for k, v in plan.items()}
+        x = gather(var.reshape(F * 4, N))                      # slot signals
+        ch_bps = bps + (sel == 3).astype(jnp.int32)            # (F, 2)
+        kind = plan["kind"]
+        order = plan["order"]
+        method = plan["method"]
+        po = plan["po"]
+        ks = plan["ks"]
+        precision = plan["precision"]
+        shift = plan["shift"]
+        qcoeffs = plan["qcoeffs"]
+        sf_bits = plan["subframe_bits"]
+        residual = plan["residual"]
+    else:
+        plan = plan_blocks(
+            x.reshape(F * C, N),
+            blocksize=blocksize,
+            bps=bps,
+            max_lpc_order=max_lpc_order,
+            max_partition_order=max_partition_order,
+            use_lpc=use_lpc,
+            apodizations=apodizations,
+        )
+        chan_code = jnp.full((F,), C - 1, jnp.int32)
+        ch_bps = jnp.full((F, C), bps, jnp.int32)
+        kind = plan["kind"].reshape(F, C)
+        order = plan["order"].reshape(F, C)
+        method = plan["method"].reshape(F, C)
+        po = plan["po"].reshape(F, C)
+        ks = plan["ks"].reshape(F, C, 64)
+        precision = plan["precision"].reshape(F, C)
+        shift = plan["shift"].reshape(F, C)
+        qcoeffs = plan["qcoeffs"].reshape(F, C, MAX_ORDER_SLOTS)
+        sf_bits = plan["subframe_bits"].reshape(F, C)
+        residual = plan["residual"].reshape(F, C, N)
 
     is_rice = (kind == KIND_FIXED) | (kind == KIND_LPC)
     is_lpc = kind == KIND_LPC
     is_verb = kind == KIND_VERBATIM
     is_const = kind == KIND_CONSTANT
-    bmask = jnp.int32((1 << bps) - 1) if bps < 32 else jnp.int32(-1)
+    bmask = (jnp.int32(1) << ch_bps) - 1  # (F, C); device bps <= 26 < 31
 
     # ---- layout ----------------------------------------------------------
-    fi = frame0 + jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)[:, 0]
+    frame0 = jnp.asarray(frame0, jnp.int32)
+    if frame0.ndim == 0:
+        fi = frame0 + jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)[:, 0]
+    else:
+        fi = frame0  # caller supplied absolute per-frame numbers (F,)
     utf8_v, utf8_l, n_bytes = _utf8_tokens_jnp(fi)
     hdr_bits = 32 + n_bytes * 8 + bs_tail_bits
     body_bits = sf_bits.sum(axis=1)
@@ -194,29 +254,27 @@ def plan_and_emit(
     sf_start = (frame_start + hdr_bits + 8)[:, None] + sf_excl
 
     lpcmeta = jnp.where(is_lpc, 4 + 5 + order * precision, 0)
-    payload_base = jnp.where(is_rice, 8 + order * bps + lpcmeta + 6, 8)
+    payload_base = jnp.where(is_rice, 8 + order * ch_bps + lpcmeta + 6, 8)
     pbits = 4 + method
 
     words = jnp.zeros(n_words, jnp.uint32)
 
     # frame header: 32 bits as two 16-bit tokens (values stay < 2^32 anyway,
-    # but 16-bit pieces keep every token <= 2 words)
-    hdr32 = (
-        (0b11111111111110 << 18)
-        | (bs_code << 12)
-        | (sr_code << 8)
-        | ((C - 1) << 4)
-        | (bps_code << 1)
+    # but 16-bit pieces keep every token <= 2 words); the channel-assignment
+    # nibble is per-frame when mid-side is active
+    hdr_const = np.uint32(
+        (0b11111111111110 << 18) | (bs_code << 12) | (sr_code << 8) | (bps_code << 1)
     )
+    hdr32 = hdr_const | (chan_code.astype(jnp.uint32) << jnp.uint32(4))
     words = _scatter_tokens(
         words,
-        jnp.full((F,), hdr32 >> 16, jnp.uint32),
+        hdr32 >> 16,
         jnp.full((F,), 16, jnp.int32),
         frame_start,
     )
     words = _scatter_tokens(
         words,
-        jnp.full((F,), hdr32 & 0xFFFF, jnp.uint32),
+        hdr32 & 0xFFFF,
         jnp.full((F,), 16, jnp.int32),
         frame_start + 16,
     )
@@ -242,18 +300,18 @@ def plan_and_emit(
     )
 
     # warmups (dead slots clamp onto the last live one to stay sorted)
-    j8 = jax.lax.broadcasted_iota(jnp.int32, (F, C, 8), 2)
+    j8 = jax.lax.broadcasted_iota(jnp.int32, (F, C, MAX_ORDER_SLOTS), 2)
     wu_used = (j8 < order[:, :, None]) & is_rice[:, :, None]
     j8w = jnp.minimum(j8, jnp.maximum(order - 1, 0)[:, :, None])
-    wu_vals = (x[:, :, :8] & bmask).astype(jnp.uint32)
+    wu_vals = (x[:, :, :MAX_ORDER_SLOTS] & bmask[:, :, None]).astype(jnp.uint32)
     words = _scatter_tokens(
         words, jnp.where(wu_used, wu_vals, 0),
-        jnp.where(wu_used, bps, 0),
-        sf_start[:, :, None] + 8 + j8w * bps,
+        jnp.where(wu_used, ch_bps[:, :, None], 0),
+        sf_start[:, :, None] + 8 + j8w * ch_bps[:, :, None],
     )
 
     # lpc meta
-    lpc_base = sf_start + 8 + order * bps
+    lpc_base = sf_start + 8 + order * ch_bps
     words = _scatter_tokens(
         words, jnp.where(is_lpc, precision - 1, 0).astype(jnp.uint32),
         jnp.where(is_lpc, 4, 0), lpc_base,
@@ -279,7 +337,7 @@ def plan_and_emit(
     # constant value
     words = _scatter_tokens(
         words, (x[:, :, 0] & bmask).astype(jnp.uint32),
-        jnp.where(is_const, bps, 0), sf_start + 8,
+        jnp.where(is_const, ch_bps, 0), sf_start + 8,
     )
 
     # ---- sample tokens ----------------------------------------------------
@@ -291,7 +349,9 @@ def plan_and_emit(
     q = (z >> ku).astype(jnp.int32)
     in_resid = i >= order[:, :, None]
     rice_tok = is_rice[:, :, None] & in_resid
-    L = jnp.where(rice_tok, q + 1 + k, jnp.where(is_verb[:, :, None], bps, 0))
+    L = jnp.where(
+        rice_tok, q + 1 + k, jnp.where(is_verb[:, :, None], ch_bps[:, :, None], 0)
+    )
     E = jnp.cumsum(L, axis=2) - L
     base_off = (
         sf_start[:, :, None]
@@ -304,7 +364,11 @@ def plan_and_emit(
     # before it cost nothing (the buffer starts zeroed).
     # verbatim: bps-bit sample value at base.
     rem = z & ((jnp.uint32(1) << ku) - jnp.uint32(1))
-    tok_v = jnp.where(rice_tok, (jnp.uint32(1) << ku) | rem, (x & bmask).astype(jnp.uint32))
+    tok_v = jnp.where(
+        rice_tok,
+        (jnp.uint32(1) << ku) | rem,
+        (x & bmask[:, :, None]).astype(jnp.uint32),
+    )
     tok_l = jnp.where(rice_tok, 1 + k, jnp.where(is_verb[:, :, None], bps, 0))
     tok_o = jnp.where(rice_tok, base_off + q, base_off)
     words = _scatter_tokens(words, tok_v, tok_l, tok_o)

@@ -97,23 +97,34 @@ def _rice_search_host(z: np.ndarray, order: int, max_po: int):
 
 def plan_blocks_host(
     blocks: np.ndarray,
+    bps_arr: np.ndarray | None = None,
     *,
     blocksize: int,
     bps: int,
     max_lpc_order: int = 8,
     max_partition_order: int = 6,
     use_lpc: bool = True,
+    apodizations: tuple = ("tukey(0.5)",),
 ) -> dict:
-    """Plan FLAC subframes for a batch of full blocks (host, any bps<=32)."""
+    """Plan FLAC subframes for a batch of full blocks (host, any bps<=32).
+
+    ``bps_arr`` optionally gives per-block bit depths (mid-side side
+    channels are bps+1); ``bps`` stays the nominal upper bound.
+    """
     x = np.ascontiguousarray(blocks, dtype=np.int64)
     B, N = x.shape
     assert N == blocksize
     while (blocksize >> max_partition_order) <= max(max_lpc_order, 4):
         max_partition_order -= 1
     res_limit = np.int64(1) << 31
+    bps_e = (
+        np.full(B, bps, np.int64)
+        if bps_arr is None
+        else np.asarray(bps_arr, np.int64)
+    )
 
     is_const = (x == x[:, :1]).all(axis=1)
-    verbatim_bits = np.int64(8 + N * bps)
+    verbatim_bits = (8 + N * bps_e).astype(np.int64)
 
     idx = np.arange(N)
     cand_bits, cand_plan = [], []
@@ -127,15 +138,15 @@ def plan_blocks_host(
         z = ((rp << 1) ^ (rp >> 63)).astype(np.uint64)
         z[:, :order] = 0
         method, po, kk, payload, valid = _rice_search_host(z, order, max_partition_order)
-        bits = 8 + order * bps + 2 + 4 + payload
+        bits = 8 + order * bps_e + 2 + 4 + payload
         bits = np.where(valid & ok, bits, _BIG)
         cand_bits.append(bits)
         cand_plan.append((method, po, kk, rp))
 
     order = max_lpc_order
     precision = 15
-    if use_lpc and order > 0:
-        window = lpc_ops.tukey_window(N)
+
+    def _lpc_candidate(window: np.ndarray):
         xf = x.astype(np.float64) * window[None, :]
         rr = np.empty((B, order + 1))
         for lag in range(order + 1):
@@ -177,8 +188,27 @@ def plan_blocks_host(
         method_l, po_l, ks_l, payload_l, valid_l = _rice_search_host(
             z, order, max_partition_order
         )
-        lpc_bits = 8 + order * bps + 4 + 5 + order * precision + 2 + 4 + payload_l
+        lpc_bits = 8 + order * bps_e + 4 + 5 + order * precision + 2 + 4 + payload_l
         lpc_bits = np.where(valid_l & lpc_ok, lpc_bits, _BIG)
+        return qc, shift, r_lpc, method_l, po_l, ks_l, lpc_bits
+
+    if use_lpc and order > 0:
+        from .device_codec import apodization_window
+
+        cands = [
+            _lpc_candidate(apodization_window(w, N).astype(np.float64))
+            for w in apodizations
+        ]
+        qc, shift, r_lpc, method_l, po_l, ks_l, lpc_bits = cands[0]
+        for qc2, s2, r2, m2, p2, k2, b2 in cands[1:]:
+            pick = b2 < lpc_bits
+            qc = np.where(pick[:, None], qc2, qc)
+            shift = np.where(pick, s2, shift)
+            r_lpc = np.where(pick[:, None], r2, r_lpc)
+            method_l = np.where(pick, m2, method_l)
+            po_l = np.where(pick, p2, po_l)
+            ks_l = np.where(pick[:, None], k2, ks_l)
+            lpc_bits = np.where(pick, b2, lpc_bits)
     else:
         qc = np.zeros((B, max(order, 1)), np.int64)
         shift = np.zeros(B, np.int64)
@@ -187,7 +217,7 @@ def plan_blocks_host(
         ks_l = np.zeros((B, PART_SLOTS), np.int64)
         lpc_bits = np.full(B, _BIG)
 
-    all_bits = np.stack(cand_bits + [lpc_bits, np.full(B, verbatim_bits)], axis=1)
+    all_bits = np.stack(cand_bits + [lpc_bits, verbatim_bits], axis=1)
     best = all_bits.argmin(axis=1)
     best_bits = np.take_along_axis(all_bits, best[:, None], axis=1)[:, 0]
 
@@ -209,7 +239,7 @@ def plan_blocks_host(
         kk = np.where(pick[:, None], k, kk)
         resid = np.where(pick[:, None], rr_, resid)
     resid = np.where(idx[None, :] >= order_out[:, None], resid, 0)
-    bits_out = np.where(is_const, 8 + bps, np.where(is_verb, verbatim_bits, best_bits))
+    bits_out = np.where(is_const, 8 + bps_e, np.where(is_verb, verbatim_bits, best_bits))
 
     has_resid = (kind == KIND_FIXED) | (kind == KIND_LPC)
     qc_pad = np.zeros((B, MAX_ORDER_SLOTS), np.int64)

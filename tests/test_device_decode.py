@@ -1,0 +1,113 @@
+"""Device decode path (VERDICT round-1 missing #4).
+
+decode_flac_device must return device-resident samples byte-exact vs the
+host decoder on every fixture class, use the FRTP layout index for parallel
+frame decode, and fall back to the host decoder for foreign/unsupported
+streams.
+"""
+
+import numpy as np
+import pytest
+
+from flac_raster_tpu.codec.decoder import decode_flac
+from flac_raster_tpu.codec.device_decoder import decode_flac_device
+from flac_raster_tpu.codec.encoder import encode_flac
+from flac_raster_tpu.codec.fast_encoder import encode_flac_fast
+from flac_raster_tpu.models.flac_format import parse_flac_metadata, parse_layout_block
+
+N = 256
+
+
+def _check(blob, expected):
+    dev = decode_flac_device(blob, verify_crc=True, verify_md5=True)
+    got = np.asarray(dev.samples)
+    assert np.array_equal(got.astype(np.int64), expected.astype(np.int64))
+    import jax
+
+    assert isinstance(dev.samples, jax.Array)
+    return dev
+
+
+def test_layout_block_written_and_parsed(rng):
+    x = rng.integers(-100, 100, (N * 3 + 50, 1)).astype(np.int32)
+    blob = encode_flac_fast(x, 44100, 16, 5, blocksize=N)
+    _, blocks, _ = parse_flac_metadata(blob)
+    layout = parse_layout_block(blocks)
+    assert layout is not None and layout.size == 4  # 3 full + tail
+    assert int(layout.sum()) == len(blob) - parse_flac_metadata(blob)[2]
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 8])
+def test_device_decode_matches_host(rng, channels):
+    n = N * 5 + 77
+    base = np.cumsum(rng.integers(-50, 51, (n, channels)), axis=0)
+    x = np.clip(base, -30000, 30000).astype(np.int32)
+    blob = encode_flac_fast(x, 44100, 16, 5, blocksize=N)
+    _check(blob, x)
+
+
+@pytest.mark.parametrize("level", [0, 2, 5, 8])
+def test_device_decode_levels(rng, level):
+    n = N * 4
+    t = np.arange(n)
+    x = (500 * np.sin(t / 9.0) + rng.normal(0, 4, n)).astype(np.int32)[:, None]
+    blob = encode_flac_fast(x, 44100, 16, level, blocksize=N)
+    _check(blob, x)
+
+
+@pytest.mark.parametrize("bps", [8, 12, 16, 20, 24])
+def test_device_decode_bit_depths(rng, bps):
+    lim = 1 << (bps - 1)
+    x = rng.integers(-lim, lim, (N * 3, 2)).astype(np.int64)
+    blob = encode_flac_fast(x, 44100, bps, 5, blocksize=N)
+    _check(blob, x)
+
+
+def test_device_decode_subframe_kinds(rng):
+    """Constant, verbatim (noise), fixed, and LPC subframes in one stream."""
+    parts = [
+        np.full(N, 42),                                  # constant
+        rng.integers(-30000, 30000, N),                  # noise -> verbatim-ish
+        np.cumsum(rng.integers(-3, 4, N)),               # smooth -> fixed/lpc
+        (1000 * np.sin(np.arange(N) / 5.0)).astype(int), # tonal -> lpc
+    ]
+    x = np.concatenate(parts).astype(np.int32)[:, None]
+    blob = encode_flac_fast(x, 44100, 16, 5, blocksize=N)
+    _check(blob, x)
+
+
+def test_device_decode_scalar_encoder_stream(rng):
+    x = np.cumsum(rng.integers(-9, 10, (N * 2 + 13, 2)), axis=0).astype(np.int32)
+    blob = encode_flac(x, 44100, 16, 5, blocksize=N)
+    _check(blob, x)
+
+
+def test_device_decode_big_blocksize(rng):
+    x = np.cumsum(rng.integers(-9, 10, (4096 * 2 + 5, 2)), axis=0).astype(np.int32)
+    blob = encode_flac_fast(x, 44100, 16, 5)
+    _check(blob, x)
+
+
+def test_foreign_stream_falls_back(ref_rgb_flac):
+    """Reference libFLAC fixture has no layout block: host fallback, still a
+    device array, still bit-exact."""
+    blob = ref_rgb_flac.read_bytes()
+    host = decode_flac(blob, verify_crc=True)
+    dev = decode_flac_device(blob, verify_crc=True)
+    assert np.array_equal(np.asarray(dev.samples), host.samples)
+
+
+def test_corrupt_frame_raises(rng):
+    x = np.cumsum(rng.integers(-9, 10, (N * 3, 1)), axis=0).astype(np.int32)
+    blob = bytearray(encode_flac_fast(x, 44100, 16, 5, blocksize=N))
+    _, _, start = parse_flac_metadata(bytes(blob))
+    blob[start + 40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac_device(bytes(blob), verify_crc=True)
+
+
+def test_32bps_falls_back(rng):
+    x = rng.integers(-(2**31), 2**31, (N * 2, 1), dtype=np.int64).astype(np.int32)
+    blob = encode_flac_fast(x, 44100, 32, 5, blocksize=N)
+    dev = decode_flac_device(blob)  # bps > device width -> host fallback
+    assert np.array_equal(np.asarray(dev.samples), x)

@@ -122,3 +122,42 @@ class TestShardedPlannerEncode:
         assert sharded == single
         dec = decode_flac(sharded)
         assert np.array_equal(dec.samples[:, 0].astype(np.int64), x[:, 0].astype(np.int64))
+
+
+class TestMeshEmit:
+    """The (tiles x blocks) shard_map step must emit REAL FLAC bytes,
+    byte-identical to the host batch emitter (VERDICT round-1 item #1)."""
+
+    @pytest.mark.parametrize("blocks_axis", [1, 2, 4])
+    def test_mesh_bytes_identical_to_host(self, blocks_axis):
+        from flac_raster_tpu.parallel.tile_engine import encode_flac_batch_mesh
+
+        rng = np.random.default_rng(9)
+        T, frames = 5, 3
+        n = frames * N + 100  # + tail frame
+        xs = []
+        for t in range(T):
+            L = np.cumsum(rng.integers(-20, 21, n)).astype(np.int32)
+            R = (L + rng.integers(-3, 4, n)).astype(np.int32)
+            xs.append(np.stack([L, R], axis=1))
+        batch = np.stack(xs)
+        mesh = tile_mesh(8, blocks_axis=blocks_axis)
+        mesh_streams = encode_flac_batch_mesh(
+            batch, 44100, 16, 5, blocksize=N, mesh=mesh
+        )
+        host_streams = encode_flac_batch(
+            batch, 44100, 16, 5, blocksize=N, use_mesh=False
+        )
+        for t, (m, h) in enumerate(zip(mesh_streams, host_streams)):
+            assert m == h, t
+            dec = decode_flac(m, verify_crc=True, verify_md5=True)
+            assert np.array_equal(dec.samples, batch[t])
+
+    def test_auto_dispatch_uses_mesh(self):
+        """encode_flac_batch auto-routes to the mesh path when >1 device is
+        visible; outputs must match the explicit host path bytes."""
+        rng = np.random.default_rng(10)
+        batch = rng.integers(-3000, 3000, (3, 2 * N, 3)).astype(np.int32)
+        auto = encode_flac_batch(batch, 44100, 16, 5, blocksize=N)
+        host = encode_flac_batch(batch, 44100, 16, 5, blocksize=N, use_mesh=False)
+        assert all(a == b for a, b in zip(auto, host))
