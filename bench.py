@@ -95,14 +95,20 @@ def stage_breakdown(samples: np.ndarray) -> dict:
 
     raw_mb = len(bounds) * chunk * blocksize * channels * 2 / 1e6
 
-    # --- device compute only (tiny sync) ---
+    # --- device compute only (tiny sync; <=3 in flight like the encoder) ---
     t0 = time.perf_counter()
     outs = []
+    fbs = []
+    pending = []
     for c0, c1 in bounds:
         out = plan_and_emit(jnp.asarray(full[c0:c1]), jnp.int32(c0),
                             n_words=n_words, **static_kw)
         outs.append(out)
-    fbs = [np.asarray(o["frame_bits"]) for o in outs]  # small pulls sync all
+        pending.append(out)
+        if len(pending) >= 3:
+            fbs.append(np.asarray(pending.pop(0)["frame_bits"]))
+    while pending:
+        fbs.append(np.asarray(pending.pop(0)["frame_bits"]))
     t_device = time.perf_counter() - t0
 
     # --- readback of the used word prefixes ---

@@ -80,6 +80,13 @@ def _scatter_tokens(words, vals, lens, offs):
     scatter index streams are sorted, and every index is in bounds by
     construction (worst_case_words pads +2), so the unchecked scatter path
     is safe.  Zero-length tokens contribute 0 at their clamped offsets.
+
+    PERF (measured on v5e, round 2): XLA TPU scatter-add is element-rate
+    bound at ~82M tokens/s regardless of sorted/unique hints; windowed
+    (2-wide) scatter is ~100x SLOWER; (N, 2)-shaped token reshapes explode
+    64x under TPU tiling.  The two per-sample scatters therefore set the
+    emit ceiling (~130 MB/s/chip for 16-bit) until emission moves into a
+    Mosaic kernel; do not re-attempt XLA-level scatter variants.
     """
     vals = vals.ravel().astype(jnp.uint32)
     lens = lens.ravel().astype(jnp.int32)
@@ -369,7 +376,9 @@ def plan_and_emit(
         (jnp.uint32(1) << ku) | rem,
         (x & bmask[:, :, None]).astype(jnp.uint32),
     )
-    tok_l = jnp.where(rice_tok, 1 + k, jnp.where(is_verb[:, :, None], bps, 0))
+    tok_l = jnp.where(
+        rice_tok, 1 + k, jnp.where(is_verb[:, :, None], ch_bps[:, :, None], 0)
+    )
     tok_o = jnp.where(rice_tok, base_off + q, base_off)
     words = _scatter_tokens(words, tok_v, tok_l, tok_o)
 
