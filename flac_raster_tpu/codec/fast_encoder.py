@@ -94,7 +94,7 @@ def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
     )
     import jax
 
-    devs = jax.devices()
+    devs = jax.local_devices()  # per-host planning under jax.distributed
     if len(devs) <= 1:
         return base
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -680,7 +680,7 @@ def encode_flac_batch(
         import jax
 
         if (
-            len(jax.devices()) > 1
+            len(jax.local_devices()) > 1
             and T > 0
             and n_full > 0
             and bits_per_sample <= MAX_DEVICE_BPS

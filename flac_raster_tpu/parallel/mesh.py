@@ -33,7 +33,9 @@ def tile_mesh(n_devices: int | None = None, blocks_axis: int = 1) -> Mesh:
         blocks_axis: size of the intra-tile ``blocks`` axis; the ``tiles``
             axis gets the remaining factor.
     """
-    devs = jax.devices()
+    # local devices: under jax.distributed each host encodes its own tile
+    # slice (parallel/multihost.py); remote devices are never addressed
+    devs = jax.local_devices()
     if n_devices is None:
         n_devices = len(devs)
     if n_devices > len(devs):
