@@ -189,6 +189,14 @@ def _show_flac_info(path: Path) -> None:
     print(f"  Bits/Sample: {si.bits_per_sample}")
     print(f"  Total Samples: {si.total_samples}")
     print(f"  File Size: {path.stat().st_size / 1e6:.2f} MB")
+    from .models.flac_format import parse_layout_block
+
+    layout = parse_layout_block(blocks)
+    if layout is not None:
+        print(
+            f"  Decode Index: {len(layout)} frames "
+            f"(FRTP; parallel/device decode + random access enabled)"
+        )
     comments: dict = {}
     for b in blocks:
         if b.block_type == BLOCK_VORBIS_COMMENT:
