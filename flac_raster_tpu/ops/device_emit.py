@@ -33,6 +33,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import device_codec
 from .device_codec import (
     KIND_CONSTANT,
     KIND_FIXED,
@@ -380,7 +381,18 @@ def plan_and_emit(
         rice_tok, 1 + k, jnp.where(is_verb[:, :, None], ch_bps[:, :, None], 0)
     )
     tok_o = jnp.where(rice_tok, base_off + q, base_off)
-    words = _scatter_tokens(words, tok_v, tok_l, tok_o)
+    if device_codec._use_pallas():
+        # Mosaic packing kernel (ops/pallas_pack): ~82M tokens/s XLA scatter
+        # was the emit ceiling; same integer arithmetic, same bytes (add ==
+        # OR across the two buffers -- bit ranges are globally disjoint)
+        from .pallas_pack import pack_tokens
+
+        words = words + pack_tokens(
+            tok_v, tok_l, tok_o, n_words=n_words, slots_per_group=N,
+            interpret=device_codec.FORCE_PALLAS_INTERPRET,
+        )
+    else:
+        words = _scatter_tokens(words, tok_v, tok_l, tok_o)
 
     # rice partition parameter tokens (dead slots clamp to the last live one)
     p64 = jax.lax.broadcasted_iota(jnp.int32, (F, C, 64), 2)

@@ -1,0 +1,141 @@
+"""Stage-resolved profile of the device decode path on the real TPU.
+
+Times each stage of codec/device_decoder + ops/device_decode separately:
+upload, window gather, next-one table, subframe parse (Rice chain scan),
+and the full decode_frames_device, plus end-to-end decode_flac_device.
+Synchronization is by host readback of a tiny slice (axon gotcha:
+block_until_ready is a no-op -- see repo CLAUDE.md).
+
+Usage: python tools/profile_decode.py [frames] [chunk_frames]
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def sync(x):
+    return np.asarray(x).ravel()[:1]
+
+
+def timeit(fn, n=3):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/frtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"backend: {jax.default_backend()}")
+
+    from flac_raster_tpu.utils.profiling import tame_device_client_threads
+
+    tame_device_client_threads()
+
+    import jax.numpy as jnp
+
+    from flac_raster_tpu.codec.fast_encoder import encode_flac_fast
+    from flac_raster_tpu.codec.device_decoder import decode_flac_device
+
+    rng = np.random.default_rng(42)
+    N = 4096
+    C = 2
+    total = frames * N
+    base = np.cumsum(rng.integers(-40, 41, (total, 1)), axis=0)
+    s = np.clip(base + rng.integers(-800, 800, (total, C)), -32768, 32767).astype(
+        np.int32
+    )
+    raw_mb = s.nbytes / 2 / 1e6  # int16-equivalent raw size
+    t0 = time.perf_counter()
+    blob = encode_flac_fast(s, 44100, 16, 5)
+    print(f"fixture: {frames} frames, raw {raw_mb:.1f} MB -> "
+          f"{len(blob)/1e6:.1f} MB compressed (host encode {time.perf_counter()-t0:.1f}s)")
+
+    # ---- end-to-end (includes host CRC pass + per-chunk dispatch) ----------
+    dec = decode_flac_device(blob, verify_crc=True, chunk_frames=chunk)
+    sync(dec.samples)
+    dt = timeit(lambda: sync(decode_flac_device(blob, verify_crc=True,
+                                                chunk_frames=chunk).samples))
+    print(f"e2e decode_flac_device     : {dt*1e3:8.1f} ms  {raw_mb/dt:7.1f} MB/s raw")
+
+    dt = timeit(lambda: sync(decode_flac_device(blob, verify_crc=False,
+                                                chunk_frames=chunk).samples))
+    print(f"e2e (no CRC)               : {dt*1e3:8.1f} ms  {raw_mb/dt:7.1f} MB/s raw")
+
+    # ---- stage timings on one chunk ---------------------------------------
+    from flac_raster_tpu.models.flac_format import parse_flac_metadata, parse_layout_block
+    from flac_raster_tpu.codec.device_decoder import (
+        _GATHER_CACHE, _gather_windows_jit, _utf8_len_bytes, _bs_tail_bits,
+    )
+    from flac_raster_tpu.ops import device_decode as dd
+
+    buf = blob
+    si, blocks, frame_start = parse_flac_metadata(buf)
+    layout = parse_layout_block(blocks)
+    arr = np.frombuffer(buf, np.uint8)
+    sizes = np.asarray(layout, np.int64)
+    offsets = frame_start + np.concatenate([[0], np.cumsum(sizes)])
+    full_frames = si.total_samples // N
+    fi = np.arange(full_frames, dtype=np.int64)
+    hdr_bits_all = (32 + _utf8_len_bytes(fi) * 8 + _bs_tail_bits(N) + 8).astype(np.int32)
+
+    body_len = 1 << max(6, (len(arr) - 1).bit_length())
+    body = np.zeros(body_len, np.uint8)
+    body[: len(arr)] = arr
+
+    dt = timeit(lambda: sync(jnp.asarray(body)))
+    print(f"upload body ({body_len/1e6:.1f} MB)     : {dt*1e3:8.1f} ms  {raw_mb/dt:7.1f} MB/s raw-equiv")
+    body_dev = jnp.asarray(body)
+
+    B = min(chunk, full_frames)
+    maxB = ((int(sizes[:full_frames].max()) + 3) // 4) * 4 + 8
+    maxB = 1 << max(4, (maxB - 1).bit_length())
+    gather = _GATHER_CACHE.setdefault(maxB, _gather_windows_jit(maxB))
+    offs = jnp.asarray(offsets[:B].astype(np.int32))
+    hb = jnp.asarray(hdr_bits_all[:B])
+    windows = gather(body_dev, offs)
+    sync(windows)
+    n_chunks = (full_frames + B - 1) // B
+    dt = timeit(lambda: sync(gather(body_dev, offs)))
+    print(f"gather windows (B={B}, {maxB}B): {dt*1e3:8.1f} ms/chunk x{n_chunks}")
+
+    # next-one table alone
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def next_one_only(w_u8):
+        wb = w_u8.reshape(B, maxB // 4, 4).astype(jnp.uint32)
+        words = (wb[:, :, 0] << 24) | (wb[:, :, 1] << 16) | (wb[:, :, 2] << 8) | wb[:, :, 3]
+        return dd._next_one_table(words)
+
+    sync(next_one_only(windows))
+    dt = timeit(lambda: sync(next_one_only(windows)))
+    print(f"next-one table ({maxB*8} bits): {dt*1e3:8.1f} ms/chunk")
+
+    # full frame decode kernel
+    out, err = dd.decode_frames_device(windows, hb, C=C, bps=16, N=N)
+    sync(out)
+    dt = timeit(lambda: sync(dd.decode_frames_device(windows, hb, C=C, bps=16, N=N)[0]))
+    chunk_mb = B * N * C * 2 / 1e6
+    print(f"decode_frames_device       : {dt*1e3:8.1f} ms/chunk  "
+          f"{chunk_mb/dt:7.1f} MB/s raw ({chunk_mb:.1f} MB/chunk)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
