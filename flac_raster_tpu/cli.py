@@ -194,8 +194,9 @@ def _show_flac_info(path: Path) -> None:
     layout = parse_layout_block(blocks)
     if layout is not None:
         print(
-            f"  Decode Index: {len(layout)} frames "
-            f"(FRTP; parallel/device decode + random access enabled)"
+            f"  Decode Index: {len(layout.sizes)} frames "
+            f"(FRTP v{layout.version}; parallel/device decode + random "
+            f"access enabled)"
         )
     comments: dict = {}
     for b in blocks:

@@ -170,6 +170,7 @@ def encode_flac_device(
     inflight: list[tuple[int, int, dict]] = []
     chunks: list[bytes] = []
     sizes: list[np.ndarray] = []
+    subs: list[np.ndarray] = []
 
     from ..utils.profiling import restore_cpu_affinity, tame_device_client_threads
 
@@ -231,6 +232,7 @@ def encode_flac_device(
         _patch_crcs(buf, frame_bits.astype(np.int64), hdr_bits.astype(np.int64))
         chunks.append(buf.tobytes())
         sizes.append((frame_bits >> 3).astype(np.int64))
+        subs.append(np.asarray(out["subframe_bits"][:Fc, :-1]).astype(np.int64))
 
     _INFLIGHT = 3
     for c0, c1 in bounds:
@@ -246,8 +248,10 @@ def encode_flac_device(
             _emit_tail_frame(tail, n_full, bits_per_sample, sr_code, bps_code, cfg)
         )
         sizes.append(np.array([len(chunks[-1])], np.int64))
+        subs.append(np.zeros((1, channels - 1), np.int64))
 
     all_sizes = np.concatenate(sizes)
+    all_subs = np.concatenate(subs) if channels > 1 else None
     md5 = (
         md5_of_samples(samples.astype(np.int64) - zero_point, bits_per_sample)
         if compute_md5
@@ -264,6 +268,9 @@ def encode_flac_device(
         total_samples=n,
         md5=md5,
     )
+    from ..models.flac_format import LAYOUT_FLAG_TOK32
+
     header = build_flac_header(streaminfo, comments, vendor, padding,
-                               frame_sizes=all_sizes)
+                               frame_sizes=all_sizes, sub_bits=all_subs,
+                               layout_flags=LAYOUT_FLAG_TOK32)
     return bytes(header) + b"".join(chunks)

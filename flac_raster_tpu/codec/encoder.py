@@ -31,6 +31,7 @@ from ..ops import lpc as lpc_ops
 from ..ops.bitpack import pack_tokens
 from ..ops.crc import crc8_rows, crc16_rows
 from ..ops.fixed import fixed_residual
+from ..ops.device_codec import MAX_RICE_TOKEN_BITS
 from ..ops.rice import MAX_RICE_PARAM_4, MAX_RICE_PARAM_5, zigzag
 from .decoder import md5_of_samples
 
@@ -179,7 +180,10 @@ def _partition_plan(
         counts = counts[0::2] + counts[1::2]
         po -= 1
     method, po, part_ks = best
-    # enforce token length q+1+k <= 64 per partition by bumping k
+    # enforce token length q+1+k <= MAX_RICE_TOKEN_BITS per partition by
+    # bumping k (always satisfiable for bps <= 30 streams; wider residuals
+    # may exceed the cap at kmax -- still valid FLAC, but such streams must
+    # not claim the TOK32 layout flag, see encode_flac's layout block)
     nparts = 1 << po
     base = blocksize >> po
     start = 0
@@ -188,7 +192,7 @@ def _partition_plan(
         zp = z[start : start + cnt]
         if zp.size:
             k = int(part_ks[p])
-            while k < kmax and (int(zp.max()) >> k) + 1 + k > 64:
+            while k < kmax and (int(zp.max()) >> k) + 1 + k > MAX_RICE_TOKEN_BITS:
                 k += 1
             part_ks[p] = k
         start += cnt
@@ -284,7 +288,12 @@ def _emit_residual(sink: _TokenSink, plan: _SubframePlan, blocksize: int) -> Non
             q = (zp >> k64).astype(np.int64)
             rem = zp & ((np.uint64(1) << k64) - np.uint64(1))
             values = (np.uint64(1) << k64) | rem
-            sink.put_array(values, q + 1 + k)
+            lengths = q + 1 + k
+            # honest TOK32 layout flag: record the widest emitted token
+            sink.max_token_bits = max(
+                getattr(sink, "max_token_bits", 0), int(lengths.max())
+            )
+            sink.put_array(values, lengths)
         start += cnt
     assert start == blocksize - plan.order
 
@@ -382,6 +391,7 @@ def encode_flac(
     sink = _TokenSink()
     frame_spans: list[tuple[int, int]] = []  # (header_bits_start, end) for CRC patching
     header_spans: list[tuple[int, int]] = []
+    sub_bits_rows: list = []  # per-frame subframe bit lengths (channels 0..C-2)
 
     sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)
     bps_code = _BPS_CODES[bits_per_sample]
@@ -433,14 +443,19 @@ def encode_flac(
         sink.put(0, 8)  # crc8 placeholder
 
         # --- subframes ---
+        sub_pos = []
         if slots is not None:
             for plan, x, slot_bps in slots:
+                sub_pos.append(sink.bit_pos)
                 _emit_subframe(sink, plan, x, slot_bps)
         else:
             for ci in range(channels):
                 x = smp[fstart : fstart + bs, ci]
                 plan = _plan_subframe(x, bits_per_sample, cfg)
+                sub_pos.append(sink.bit_pos)
                 _emit_subframe(sink, plan, x, bits_per_sample)
+        sub_pos.append(sink.bit_pos)
+        sub_bits_rows.append(np.diff(sub_pos)[:-1] if channels > 1 else None)
 
         # byte align + crc16 placeholder
         pad_bits = (-sink.bit_pos) % 8
@@ -486,6 +501,18 @@ def encode_flac(
         md5=md5,
     )
     frame_sizes = [e + 2 - s for s, e in frame_spans]
-    header = build_flac_header(streaminfo, comments, vendor, padding,
-                               frame_sizes=frame_sizes or None)
+    from ..models.flac_format import LAYOUT_FLAG_TOK32
+
+    tok32 = getattr(sink, "max_token_bits", 0) <= MAX_RICE_TOKEN_BITS
+    sub_bits = (
+        np.asarray(sub_bits_rows, np.int64)
+        if channels > 1 and sub_bits_rows and tok32
+        else None
+    )
+    header = build_flac_header(
+        streaminfo, comments, vendor, padding,
+        frame_sizes=frame_sizes or None,
+        sub_bits=sub_bits,
+        layout_flags=LAYOUT_FLAG_TOK32 if tok32 else 0,
+    )
     return bytes(header) + bytes(body)

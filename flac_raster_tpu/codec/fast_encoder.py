@@ -220,7 +220,7 @@ def _emit_chunk(
             (default independent channels, C-1).
         ch_bps: optional (F, C) per-slot bit depths (side slots are bps+1).
     Returns:
-        (packed bytes for the chunk, per-frame byte sizes (F,))
+        (packed bytes, per-frame byte sizes (F,), subframe bits (F, C))
     """
     F, C, N = x.shape
     log2n = N.bit_length() - 1
@@ -402,7 +402,7 @@ def _emit_chunk(
     if native.available():
         native.crc8_patch(buf, fs_byte, hdr_len)
         native.crc16_patch(buf, fs_byte, fr_len)
-        return buf.tobytes(), (frame_bits >> 3)
+        return buf.tobytes(), (frame_bits >> 3), sf_bits
 
     hmax = int(hdr_len.max())
     hmat = np.zeros((F, hmax), np.uint8)
@@ -424,7 +424,7 @@ def _emit_chunk(
         buf[e] = int(f16[fidx]) >> 8
         buf[e + 1] = int(f16[fidx]) & 0xFF
 
-    return buf.tobytes(), (frame_bits >> 3)
+    return buf.tobytes(), (frame_bits >> 3), sf_bits
 
 
 def _plan_frames_chunk(
@@ -600,6 +600,7 @@ def encode_flac_fast(
 
     chunks: list[bytes] = []
     sizes: list[np.ndarray] = []
+    subs: list[np.ndarray] = []
     for c0 in range(0, n_full, plan_chunk_frames):
         c1 = min(c0 + plan_chunk_frames, n_full)
         # Batches are padded to power-of-two buckets inside _plan_frames_chunk
@@ -607,12 +608,13 @@ def encode_flac_fast(
         plan, x_emit, chan_code, ch_bps = _plan_frames_chunk(
             full[c0:c1], planner, blocksize, bits_per_sample, block_dtype, use_ms
         )
-        data, fsizes = _emit_chunk(
+        data, fsizes, sf_bits = _emit_chunk(
             x_emit, plan, c0, blocksize, bits_per_sample, sr_code, bps_code,
             chan_code=chan_code, ch_bps=ch_bps,
         )
         chunks.append(data)
         sizes.append(fsizes)
+        subs.append(sf_bits[:, :-1])
 
     if n_full * blocksize < n:
         tail = smp[n_full * blocksize :]
@@ -620,8 +622,10 @@ def encode_flac_fast(
             _emit_tail_frame(tail, n_full, bits_per_sample, sr_code, bps_code, cfg)
         )
         sizes.append(np.array([len(chunks[-1])], np.int64))
+        subs.append(np.zeros((1, channels - 1), np.int64))  # tail: host decode
 
     all_sizes = np.concatenate(sizes)
+    all_subs = np.concatenate(subs) if channels > 1 else None
     md5 = md5_of_samples(samples.astype(np.int32), bits_per_sample) if compute_md5 else b"\x00" * 16
     streaminfo = StreamInfo(
         min_blocksize=blocksize,
@@ -634,8 +638,11 @@ def encode_flac_fast(
         total_samples=n,
         md5=md5,
     )
+    from ..models.flac_format import LAYOUT_FLAG_TOK32
+
     header = build_flac_header(streaminfo, comments, vendor, padding,
-                               frame_sizes=all_sizes)
+                               frame_sizes=all_sizes, sub_bits=all_subs,
+                               layout_flags=LAYOUT_FLAG_TOK32)
     return bytes(header) + b"".join(chunks)
 
 
@@ -761,20 +768,23 @@ def encode_flac_batch(
     out: list[bytes] = []
     for t in range(T):
         plan_t = {key: val[t] for key, val in plan_all.items()}
-        data, fsizes = _emit_chunk(
+        data, fsizes, sf_bits = _emit_chunk(
             x_all[t], plan_t, 0, blocksize, bits_per_sample, sr_code, bps_code,
             chan_code=None if cc_all is None else cc_all[t],
             ch_bps=None if cb_all is None else cb_all[t],
         )
         chunks = [data]
         sizes = [fsizes]
+        subs = [sf_bits[:, :-1]]
         if n_full * blocksize < n:
             tail = smp[t, n_full * blocksize :]
             chunks.append(
                 _emit_tail_frame(tail, n_full, bits_per_sample, sr_code, bps_code, cfg)
             )
             sizes.append(np.array([len(chunks[-1])], np.int64))
+            subs.append(np.zeros((1, channels - 1), np.int64))
         all_sizes = np.concatenate(sizes)
+        all_subs = np.concatenate(subs) if channels > 1 else None
         md5 = (
             md5_of_samples(samples_batch[t].astype(np.int32), bits_per_sample)
             if compute_md5
@@ -791,7 +801,10 @@ def encode_flac_batch(
             total_samples=n,
             md5=md5,
         )
+        from ..models.flac_format import LAYOUT_FLAG_TOK32
+
         header = build_flac_header(streaminfo, comments_list[t], vendor,
-                                   frame_sizes=all_sizes)
+                                   frame_sizes=all_sizes, sub_bits=all_subs,
+                                   layout_flags=LAYOUT_FLAG_TOK32)
         out.append(bytes(header) + b"".join(chunks))
     return out

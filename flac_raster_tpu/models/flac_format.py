@@ -185,39 +185,97 @@ def parse_flac_metadata(data: bytes) -> tuple[StreamInfo, list[MetadataBlock], i
 LAYOUT_APP_ID = b"FRTP"
 _LAYOUT_MAX_FRAMES = ((1 << 24) - 16) // 4  # must fit a 24-bit block length
 
+LAYOUT_FLAG_TOK32 = 0x01   # every Rice token obeys q+1+k <= 32 (planner cap)
 
-def serialize_layout_block(frame_sizes) -> bytes:
+
+class LayoutIndex:
+    """Parsed FRTP decode index.
+
+    Attributes:
+        sizes: (frames,) int64 per-frame byte sizes.
+        sub_bits: (frames, n_sub) int64 bit lengths of subframes
+            0..channels-2 per frame, or None (v1 blocks / mono streams).
+            The last subframe's length is implied by the frame size.
+        flags: u8 flag bits (LAYOUT_FLAG_TOK32, ...).
+        version: 1 or 2.
+    """
+
+    __slots__ = ("sizes", "sub_bits", "flags", "version")
+
+    def __init__(self, sizes, sub_bits=None, flags=0, version=1):
+        self.sizes = sizes
+        self.sub_bits = sub_bits
+        self.flags = flags
+        self.version = version
+
+
+def serialize_layout_block(frame_sizes, sub_bits=None, flags=0) -> bytes:
     """APPLICATION payload carrying per-frame byte sizes (the decode index).
 
     Standard FLAC decoders skip APPLICATION blocks; ours uses the index to
     decode frames in parallel on device (ops/device_decode) and to serve
-    random access without walking the stream.  Layout: 4-byte id ``FRTP``,
-    u8 version, u8 flags, u16 reserved, u32 frame count, u32 BE sizes.
+    random access without walking the stream.
+
+    v1 layout: 4-byte id ``FRTP``, u8 version=1, u8 flags, u16 reserved,
+    u32 frame count, u32 BE sizes.
+    v2 (written when ``sub_bits``/``flags`` are given) additionally carries
+    u8 n_sub in the reserved slot and, after the sizes, u32 BE bit lengths
+    of subframes 0..n_sub-1 of each frame (row-major) -- this is what lets
+    the device decoder start every subframe of every frame in one batched
+    pass instead of walking channels sequentially.
     """
     import numpy as np
 
     sizes = np.asarray(frame_sizes, dtype=">u4")
+    if sub_bits is None and not flags:
+        return (
+            LAYOUT_APP_ID
+            + bytes([1, 0, 0, 0])
+            + len(sizes).to_bytes(4, "big")
+            + sizes.tobytes()
+        )
+    if sub_bits is not None:
+        sb = np.asarray(sub_bits, dtype=">u4").reshape(len(sizes), -1)
+        n_sub = sb.shape[1]
+        tail = sb.tobytes()
+    else:
+        n_sub, tail = 0, b""
     return (
         LAYOUT_APP_ID
-        + bytes([1, 0, 0, 0])
+        + bytes([2, flags & 0xFF, n_sub, 0])
         + len(sizes).to_bytes(4, "big")
         + sizes.tobytes()
+        + tail
     )
 
 
-def parse_layout_block(blocks) -> "np.ndarray | None":
-    """Extract per-frame byte sizes from the FRTP APPLICATION block."""
+def parse_layout_block(blocks) -> "LayoutIndex | None":
+    """Extract the FRTP decode index (None when absent/unknown version)."""
     import numpy as np
 
     for b in blocks:
         if b.block_type == BLOCK_APPLICATION and b.data[:4] == LAYOUT_APP_ID:
-            if len(b.data) < 12 or b.data[4] != 1:
+            version = b.data[4] if len(b.data) >= 12 else 0
+            if len(b.data) < 12 or version not in (1, 2):
                 return None
             count = int.from_bytes(b.data[8:12], "big")
             arr = np.frombuffer(b.data[12 : 12 + 4 * count], dtype=">u4")
             if arr.size != count:
                 return None
-            return arr.astype(np.int64)
+            sizes = arr.astype(np.int64)
+            if version == 1:
+                return LayoutIndex(sizes)
+            flags, n_sub = b.data[5], b.data[6]
+            sub = None
+            if n_sub:
+                off = 12 + 4 * count
+                sub = np.frombuffer(
+                    b.data[off : off + 4 * count * n_sub], dtype=">u4"
+                )
+                if sub.size != count * n_sub:
+                    return None
+                sub = sub.astype(np.int64).reshape(count, n_sub)
+            return LayoutIndex(sizes, sub, flags, 2)
     return None
 
 
@@ -227,17 +285,28 @@ def build_flac_header(
     vendor: str = "flac-raster-tpu",
     padding: int = 0,
     frame_sizes=None,
+    sub_bits=None,
+    layout_flags: int = 0,
 ) -> bytes:
     """Serialize magic + metadata blocks.  The VORBIS_COMMENT (with all
     GEOSPATIAL_* fields) is written up-front, before any frame bytes exist,
     which is what makes spatial byte offsets stable (fixes SURVEY.md Q3a).
-    ``frame_sizes`` adds the FRTP layout APPLICATION block (decode index)."""
+    ``frame_sizes`` adds the FRTP layout APPLICATION block (decode index);
+    ``sub_bits``/``layout_flags`` upgrade it to v2 (see
+    serialize_layout_block)."""
     out = bytearray(FLAC_MAGIC)
     blocks: list[tuple[int, bytes]] = [(BLOCK_STREAMINFO, streaminfo.to_bytes())]
     if comments is not None:
         blocks.append((BLOCK_VORBIS_COMMENT, serialize_vorbis_comments(comments, vendor)))
     if frame_sizes is not None and 0 < len(frame_sizes) <= _LAYOUT_MAX_FRAMES:
-        blocks.append((BLOCK_APPLICATION, serialize_layout_block(frame_sizes)))
+        if sub_bits is not None and len(sub_bits) != len(frame_sizes):
+            sub_bits = None  # inconsistent caller data: drop to sizes-only
+        blocks.append(
+            (
+                BLOCK_APPLICATION,
+                serialize_layout_block(frame_sizes, sub_bits, layout_flags),
+            )
+        )
     if padding > 0:
         blocks.append((BLOCK_PADDING, b"\x00" * padding))
     for i, (btype, payload) in enumerate(blocks):

@@ -66,6 +66,14 @@ __all__ = [
 
 MAX_DEVICE_BPS = 26
 KMAX = 20              # largest Rice parameter searched on device
+# Every emitted Rice token obeys q + 1 + k <= MAX_RICE_TOKEN_BITS (k bumped /
+# partition escaped otherwise; shared by all three planners so the encoders
+# stay byte-identical).  32 -- rather than FLAC's implicit 2^q freedom --
+# lets the device decoder group a guaranteed 9 codes per 13-word window read
+# (ops/device_decode) and halves the pack kernel's compare window
+# (ops/pallas_pack).  Size cost: only partitions whose max quotient would
+# exceed the budget pick a larger k; measured parity vs libFLAC -5 holds.
+MAX_RICE_TOKEN_BITS = 32
 _QCLAMP = 1 << 17      # clamp on per-sample quotient inside cost sums
 _BIG = np.int32(1 << 29)
 
@@ -199,10 +207,10 @@ def _rice_search(z, order, blocksize, max_po, idx):
             sums.append(q.sum(axis=-1))
         cost = jnp.stack(sums, axis=1)  # (B, K+1, parts)
     cost = cost + counts_l[:, None, :] * (jnp.asarray(ks)[None, :, None] + 1)
-    # validity: every token in the partition fits in 64 bits (uint32 math --
-    # zmax can exceed int32 range for wide LPC residuals)
+    # validity: every token in the partition fits MAX_RICE_TOKEN_BITS (uint32
+    # math -- zmax can exceed int32 range for wide LPC residuals)
     ks_u = jnp.asarray(ks.astype(np.uint32))
-    vmask = (zmax[:, None, :] >> ks_u[None, :, None]) + jnp.uint32(1) + ks_u[None, :, None] <= jnp.uint32(64)
+    vmask = (zmax[:, None, :] >> ks_u[None, :, None]) + jnp.uint32(1) + ks_u[None, :, None] <= jnp.uint32(MAX_RICE_TOKEN_BITS)
     cost = jnp.where(vmask, cost, _BIG)
 
     totals = []   # (B,) per (level, method)

@@ -12,25 +12,36 @@ Design (fixed-blocksize streams carrying the FRTP layout block our encoders
 write -- see models/flac_format.serialize_layout_block):
 
   * frame byte offsets come from the layout index, so a whole chunk of
-    frames is gathered into a padded (frames, bytes) window matrix and
+    frames is gathered into a padded (frames, words) window matrix and
     decoded as one batch -- no sequential stream walk anywhere;
-  * frame/subframe headers are parsed with batched bit-gathers;
-  * Rice residuals: the per-code "skip to the next 1-bit" chain runs as ONE
-    ``lax.scan`` over code index with all frames as vector lanes; the
-    "next one-bit at/after position" table is a reversed ``cummin`` over
-    the window bits (ops/rice.py documents the underlying observation that
-    one-positions are the only candidate terminators);
+  * subframe start offsets come from the FRTP v2 layout block, so all C
+    subframes of all frames parse in ONE batched pass (C*B lanes) -- no
+    sequential walk across channels either;
+  * Rice residuals: the code chain runs as a ``lax.scan`` over code index
+    with all subframes as vector lanes, ``_GROUP`` codes per step served
+    by ONE ``_TW``-word gather.  Our planners enforce q + 1 + k <= 32 on
+    every Rice token (device_codec.MAX_RICE_TOKEN_BITS; the TOK32 layout
+    flag advertises it), so a group of codes is guaranteed to fit the
+    register-resident window, which is shifted left between codes with
+    pure VPU selects; terminators are found with ``lax.clz`` -- no per-bit
+    "next one" table, no large intermediate state, and per-lane gathers
+    (the scarce resource: ~40M elem/s on v5e) drop to ~1.3 words/code.  A
+    missing terminator within the 32-bit budget sets the error flag
+    (foreign streams fall back to the host decoder);
   * predictor restore is a batched integer IIR ``lax.scan`` over the block
     (fixed orders use constant binomial taps, LPC its quantized taps --
     identical int32 arithmetic to the encoder, whose overflow guard makes
-    int32 safe for any stream our encoders produced);
-  * stereo un-decorrelation and (optionally) inverse normalization fuse in.
+    int32 safe for any stream our encoders produced), unrolled
+    ``_IIR_UNROLL`` samples per step;
+  * stereo un-decorrelation fuses in; verbatim sample reads are gated
+    behind a ``lax.cond`` since verbatim subframes are rare.
 
 Correctness: byte-level frame CRC-16 is verified on HOST over the compressed
 bytes (native C table pass -- linear in compressed size), and any in-graph
-structural surprise (reserved type, wasted bits, escape partition) sets a
-per-frame error flag; the caller falls back to the host decoder when any
-flag is set, so unsupported-but-valid FLAC still decodes correctly.
+structural surprise (reserved type, wasted bits, escape partition, oversized
+Rice code) sets a per-frame error flag; the caller falls back to the host
+decoder when any flag is set, so unsupported-but-valid FLAC still decodes
+correctly.
 """
 
 from __future__ import annotations
@@ -45,6 +56,13 @@ import jax.numpy as jnp
 __all__ = ["decode_frames_device", "DEVICE_DECODE_MAX_ORDER"]
 
 DEVICE_DECODE_MAX_ORDER = 12  # matches MAX_ORDER_SLOTS
+
+_TW = 13           # words gathered per Rice scan step (416 bits)
+# codes decoded per window: floor((32*_TW - 31) / (5 + 32)) with the TOK32
+# cap -- each code consumes at most 5 partition-parameter bits + 32 code
+# bits, and up to 31 bits of the gathered window are pre-alignment slack
+_GROUP = (32 * _TW - 31) // 37
+_IIR_UNROLL = 8    # samples restored per scan step
 
 _FIXED_COEFS = np.zeros((5, DEVICE_DECODE_MAX_ORDER), np.int32)
 _FIXED_COEFS[1, :1] = [1]
@@ -62,7 +80,7 @@ def _read32(words, pos):
     """32 bits (MSB-first) at bit position ``pos`` in each lane.
 
     words: (B, W) uint32 big-endian bit buffer; pos (B,) int32.
-    Out-of-range positions read zeros (windows are padded).
+    Out-of-range positions read clamped words (windows carry slack).
     """
     W = words.shape[1]
     wi = jnp.clip(pos >> 5, 0, W - 2)
@@ -71,6 +89,25 @@ def _read32(words, pos):
     b = _take1(words, wi + 1)
     # (b >> (32 - s)) without the undefined shift-by-32: (b >> 1) >> (31 - s)
     return (a << s) | ((b >> jnp.uint32(1)) >> (jnp.uint32(31) - s))
+
+
+def _read96(words, pos):
+    """96 aligned bits at ``pos``: one (B, 4)-word gather -> three uint32.
+
+    Enough for one Rice code (<= 5 param bits + 64 code bits < 96 - 31).
+    """
+    W = words.shape[1]
+    wi = jnp.clip(pos >> 5, 0, W - 4)
+    w4 = jnp.take_along_axis(
+        words, wi[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :], axis=1
+    )
+    s = (pos & 31).astype(jnp.uint32)
+    t = jnp.uint32(31) - s
+    w0, w1, w2, w3 = w4[:, 0], w4[:, 1], w4[:, 2], w4[:, 3]
+    a = (w0 << s) | ((w1 >> jnp.uint32(1)) >> t)
+    b = (w1 << s) | ((w2 >> jnp.uint32(1)) >> t)
+    c = (w2 << s) | ((w3 >> jnp.uint32(1)) >> t)
+    return a, b, c
 
 
 def _read32_2d(words, pos):
@@ -98,26 +135,11 @@ def _sext(v, nbits):
     return ((vv ^ sign).astype(jnp.int32)) - sign.astype(jnp.int32)
 
 
-def _next_one_table(words):
-    """(B, W) uint32 -> (B, W*32) int32: bit index of the first 1-bit at or
-    after each position (W*32 when none)."""
-    B, W = words.shape
-    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
-    bits = ((words[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)).astype(
-        jnp.int32
-    )
-    bits = bits.reshape(B, W * 32)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (B, W * 32), 1)
-    cand = jnp.where(bits == 1, idx, W * 32)
-    return jax.lax.cummin(cand[:, ::-1], axis=1)[:, ::-1]
-
-
-def _parse_subframe(words, next_one, pos, eb, err, *, N):
+def _parse_subframe(words, pos, eb, err, *, N):
     """Parse + decode one subframe across all lanes.
 
     Args:
         words: (B, W) uint32 window bits.
-        next_one: (B, W*32) int32 next-one-bit table.
         pos: (B,) int32 bit position of the subframe header.
         eb: (B,) int32 effective bits per sample of this channel slot.
         err: (B,) bool error accumulator.
@@ -125,7 +147,6 @@ def _parse_subframe(words, next_one, pos, eb, err, *, N):
         (signal (B, N) int32, end_pos (B,), err)
     """
     B = pos.shape[0]
-    total_bits = next_one.shape[1]
     M = DEVICE_DECODE_MAX_ORDER
 
     hdr = (_read32(words, pos) >> jnp.uint32(24)).astype(jnp.int32)
@@ -145,10 +166,19 @@ def _parse_subframe(words, next_one, pos, eb, err, *, N):
     # ---- constant ----------------------------------------------------------
     const_val = _sext(_take_bits(_read32(words, pos0), eb), eb)
 
-    # ---- verbatim ----------------------------------------------------------
+    # ---- verbatim (rare: gate the (B, N) bit-gather behind a cond) ---------
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
-    vpos = pos0[:, None] + iota_n * eb[:, None]
-    verb = _sext(_take_bits(_read32_2d(words, vpos), eb[:, None]), eb[:, None])
+
+    def read_verbatim(_):
+        vpos = pos0[:, None] + iota_n * eb[:, None]
+        return _sext(_take_bits(_read32_2d(words, vpos), eb[:, None]), eb[:, None])
+
+    verb = jax.lax.cond(
+        jnp.any(is_verb),
+        read_verbatim,
+        lambda _: jnp.zeros((B, N), jnp.int32),
+        operand=None,
+    )
 
     # ---- warmups + LPC meta ------------------------------------------------
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
@@ -174,7 +204,7 @@ def _parse_subframe(words, next_one, pos, eb, err, *, N):
     )
     shift_eff = jnp.where(is_lpc, shiftv, 0)
 
-    # ---- residual: method/po then the Rice chain scan ----------------------
+    # ---- residual: method/po then the unrolled Rice chain scan -------------
     rpos = pos_w + lpcmeta
     method = (_take_bits(_read32(words, rpos), 2)).astype(jnp.int32)
     po = (_take_bits(_read32(words, rpos + 2), 4)).astype(jnp.int32)
@@ -186,55 +216,128 @@ def _parse_subframe(words, next_one, pos, eb, err, *, N):
     rstart = rpos + 6
     n_codes = N - order
 
-    def rice_step(carry, j):
+    # Grouped chain scan: ONE (B, _TW)-word gather serves _GROUP consecutive
+    # codes.  The TOK32 planner cap (device_codec.MAX_RICE_TOKEN_BITS = 32)
+    # bounds each code at 5 param + 32 code = 37 bits, so _GROUP codes are
+    # guaranteed inside the aligned 385-bit window; the window is then
+    # shifted left in registers between codes (pure VPU selects/shifts --
+    # per-lane gathers are the scarce resource on TPU, ~40M elem/s).
+    # Streams violating the cap set the error flag (host-decoder fallback).
+    W = words.shape[1]
+    iota_tw = jnp.arange(_TW, dtype=jnp.int32)
+    zero_w = jnp.zeros((B,), jnp.uint32)
+    n_steps = -(-N // _GROUP)
+
+    def rice_step(carry, j0):
         cpos, k, cerr = carry
-        active = is_rice & (j < n_codes)
-        boundary = active & ((j == 0) | (((order + j) & psize_mask) == 0))
-        k_new = _take_bits(_read32(words, cpos), pbits).astype(jnp.int32)
-        cerr = cerr | (boundary & (k_new == escape))
-        k = jnp.where(boundary, k_new, k)
-        cpos = jnp.where(boundary, cpos + pbits, cpos)
-        term = _take1(next_one, jnp.clip(cpos, 0, total_bits - 1))
-        cerr = cerr | (active & (term >= total_bits))
-        term = jnp.minimum(term, total_bits - 1)
-        q = (term - cpos).astype(jnp.uint32)
-        rem = _take_bits(_read32(words, term + 1), k)
-        z = (q << k.astype(jnp.uint32)) | rem
-        cpos = jnp.where(active, term + 1 + k, cpos)
-        return (cpos, k, cerr), jnp.where(active, z, jnp.uint32(0))
+        wi = jnp.clip(cpos >> 5, 0, W - _TW)
+        win = jnp.take_along_axis(words, wi[:, None] + iota_tw[None, :], axis=1)
+        # pre-align so window bit 0 == cpos
+        sh = (cpos & 31).astype(jnp.uint32)
+        t31 = jnp.uint32(31) - sh
+        w = [
+            (win[:, t] << sh) | ((win[:, t + 1] >> jnp.uint32(1)) >> t31)
+            for t in range(_TW - 1)
+        ]
+        outs = []
+        for g in range(_GROUP):
+            j = j0 + g
+            active = is_rice & (j < n_codes)
+            boundary = active & ((j == 0) | (((order + j) & psize_mask) == 0))
+            pb = jnp.where(boundary, pbits, 0)
+            a, b, c = w[0], w[1], w[2]
+            k_new = _take_bits(a, pbits).astype(jnp.int32)
+            cerr = cerr | (boundary & (k_new == escape))
+            k = jnp.where(boundary, k_new, k)
+            # consume the (optional) partition parameter (pb <= 5 < 32)
+            pbu = pb.astype(jnp.uint32)
+            tp = jnp.uint32(31) - pbu
+            a, b = (
+                (a << pbu) | ((b >> jnp.uint32(1)) >> tp),
+                (b << pbu) | ((c >> jnp.uint32(1)) >> tp),
+            )
+            q = jnp.where(
+                a == 0,
+                32 + jax.lax.clz(b).astype(jnp.int32),
+                jax.lax.clz(a).astype(jnp.int32),
+            )
+            cerr = cerr | (active & (q + 1 + k > 32))
+            q = jnp.minimum(q, 31)
+            # remainder bits [q+1, q+1+k) lie inside (a, b); q+1 <= 32
+            s2 = q + 1
+            lo = jnp.minimum(s2, 31).astype(jnp.uint32)
+            w1 = (a << lo) | ((b >> jnp.uint32(1)) >> (jnp.uint32(31) - lo))
+            rem = _take_bits(jnp.where(s2 <= 31, w1, b), k)
+            z = (q.astype(jnp.uint32) << k.astype(jnp.uint32)) | rem
+            outs.append(jnp.where(active, z, jnp.uint32(0)))
+            n_bits = jnp.where(active, pb + q + 1 + k, 0)
+            cpos = cpos + n_bits
+            if g < _GROUP - 1:
+                # shift the register window left by n_bits (<= 37: 1 word + 5)
+                nw1 = n_bits >= 32
+                nb = (n_bits & 31).astype(jnp.uint32)
+                tb = jnp.uint32(31) - nb
+                L = len(w)
+
+                def gw(i, w=w, L=L):
+                    return w[i] if i < L else zero_w
+
+                w = [
+                    (jnp.where(nw1, gw(t + 1), gw(t)) << nb)
+                    | ((jnp.where(nw1, gw(t + 2), gw(t + 1)) >> jnp.uint32(1)) >> tb)
+                    for t in range(L)
+                ]
+        return (cpos, k, cerr), jnp.stack(outs)
 
     (rend, _, err), zs = jax.lax.scan(
         rice_step,
         (rstart, jnp.zeros(B, jnp.int32), err),
-        jnp.arange(N, dtype=jnp.int32),
+        jnp.arange(n_steps, dtype=jnp.int32) * _GROUP,
     )
-    zs = zs.T  # (B, N): code j of each lane
+    zs = zs.reshape(n_steps * _GROUP, B)[:N].T  # (B, N): code j per lane
 
-    # place code j at sample order + j, unzigzag
-    src = jnp.clip(iota_n - order[:, None], 0, N - 1)
-    zres = jnp.take_along_axis(zs, src, axis=1)
-    res = ((zres >> jnp.uint32(1)).astype(jnp.int32)) ^ -(
-        (zres & jnp.uint32(1)).astype(jnp.int32)
+    # place code j at sample order + j: order is 0..M, so the per-lane shift
+    # becomes an (M+1)-way select over statically shifted copies -- all
+    # dense VPU work (a take_along_axis here ran at ~10M elem/s on v5e)
+    zsh = jnp.zeros_like(zs)
+    for o in range(M + 1):
+        shifted = jnp.pad(zs, ((0, 0), (o, 0)))[:, :N] if o else zs
+        zsh = jnp.where(order[:, None] == o, shifted, zsh)
+    res = ((zsh >> jnp.uint32(1)).astype(jnp.int32)) ^ -(
+        (zsh & jnp.uint32(1)).astype(jnp.int32)
     )
     res = jnp.where(iota_n >= order[:, None], res, 0)
 
-    # ---- predictor restore: batched integer IIR ----------------------------
-    def iir_step(w, inputs):
-        res_i, warm_i, i = inputs
-        acc = jnp.sum(w * coefs, axis=1)
-        x_i = jnp.where(
-            i < order, warm_i, res_i + (acc >> shift_eff)
-        )
-        w = jnp.concatenate([x_i[:, None], w[:, :-1]], axis=1)
-        return w, x_i
+    # ---- predictor restore: batched integer IIR (unrolled) -----------------
+    # state lives as M separate (B,) registers: a concat-based (B, M) shift
+    # register forces a data copy per sample, the register list is pure SSA
+    cs = [coefs[:, m] for m in range(M)]
 
-    warm_t = jnp.pad(warm.T, ((0, N - M), (0, 0)))  # (N, B); N > M always
+    def iir_step(carry, inputs):
+        w = list(carry)
+        res_u, warm_u, i0 = inputs
+        xs = []
+        for u in range(_IIR_UNROLL):
+            acc = w[0] * cs[0]
+            for m in range(1, M):
+                acc = acc + w[m] * cs[m]
+            x_i = jnp.where(
+                i0 + u < order, warm_u[u], res_u[u] + (acc >> shift_eff)
+            )
+            w = [x_i] + w[:-1]
+            xs.append(x_i)
+        return tuple(w), jnp.stack(xs)
+
+    n_pad = -(-N // _IIR_UNROLL)
+    Np = n_pad * _IIR_UNROLL
+    res_t = jnp.pad(res.T, ((0, Np - N), (0, 0))).reshape(n_pad, _IIR_UNROLL, B)
+    warm_t = jnp.pad(warm.T, ((0, Np - M), (0, 0))).reshape(n_pad, _IIR_UNROLL, B)
     _, xs = jax.lax.scan(
         iir_step,
-        jnp.zeros((B, M), jnp.int32),
-        (res.T, warm_t, jnp.arange(N, dtype=jnp.int32)),
+        tuple(jnp.zeros((B,), jnp.int32) for _ in range(M)),
+        (res_t, warm_t, jnp.arange(n_pad, dtype=jnp.int32) * _IIR_UNROLL),
     )
-    sig_rice = xs.T  # (B, N)
+    sig_rice = xs.reshape(Np, B)[:N].T  # (B, N)
 
     sig = jnp.where(
         is_const[:, None],
@@ -250,50 +353,77 @@ def _parse_subframe(words, next_one, pos, eb, err, *, N):
 
 
 @functools.partial(jax.jit, static_argnames=("C", "bps", "N"))
-def decode_frames_device(windows_u8, hdr_bits, *, C: int, bps: int, N: int):
+def decode_frames_device(windows, bit_base, sf_start, *, C: int, bps: int, N: int):
     """Decode a batch of full FLAC frames on device.
 
+    All C subframes of all B frames parse in ONE batched pass (C*B lanes):
+    the per-subframe start offsets come from the FRTP v2 layout block, so
+    no sequential walk across channels is needed.
+
     Args:
-        windows_u8: (B, maxB) uint8 -- each row one frame's bytes (padded;
-            maxB must be a multiple of 4 with >= 8 slack bytes).
-        hdr_bits: (B,) int32 -- frame header length in bits INCLUDING the
-            CRC-8 byte (host-computable: 32 + utf8len(frame#)*8 + bs_tail
-            + 8 for fixed-blocksize streams).
+        windows: (B, W) uint32 -- each row one frame's bytes as big-endian
+            words, starting at the word CONTAINING the frame's first byte
+            (W must carry >= _TW words of slack past the largest frame),
+            OR (B, maxB) uint8 rows (converted in-graph).
+        bit_base: (B,) int32 -- window-local bit offset of the frame start
+            ((byte_offset % 4) * 8 for word-gathered windows, 0 for
+            byte-aligned uint8 rows).
+        sf_start: (B, C) int32 -- window-local bit offset of each subframe:
+            column 0 is bit_base + header bits (incl. CRC-8), column c adds
+            the layout block's subframe bit lengths.
         C / bps / N: channel count, stream bit depth, blocksize (static).
 
     Returns:
-        samples (B, N, C) int32, err (B,) bool.  CRC verification is the
+        samples (B, N, C) int32, err (B,) bool.  err also covers
+        subframe-chain mismatches (a parsed subframe not ending where the
+        layout index says the next begins).  CRC verification is the
         caller's job (host, over the compressed bytes).
     """
-    B, maxB = windows_u8.shape
-    wb = windows_u8.reshape(B, maxB // 4, 4).astype(jnp.uint32)
-    words = (
-        (wb[:, :, 0] << 24) | (wb[:, :, 1] << 16) | (wb[:, :, 2] << 8) | wb[:, :, 3]
-    )
-    next_one = _next_one_table(words)
+    if windows.dtype == jnp.uint8:
+        B, maxB = windows.shape
+        wb = windows.reshape(B, maxB // 4, 4).astype(jnp.uint32)
+        words = (
+            (wb[:, :, 0] << 24) | (wb[:, :, 1] << 16)
+            | (wb[:, :, 2] << 8) | wb[:, :, 3]
+        )
+    else:
+        words = windows
+    B = words.shape[0]
 
-    hdr32 = _read32(words, jnp.zeros(B, jnp.int32))
+    hdr32 = _read32(words, bit_base)
     chan_code = ((hdr32 >> jnp.uint32(4)) & jnp.uint32(0xF)).astype(jnp.int32)
     err = chan_code > 10
     if C == 2:
         side0 = (chan_code == 9).astype(jnp.int32)          # right/side
         side1 = ((chan_code == 8) | (chan_code == 10)).astype(jnp.int32)
-        ch_bps = [bps + side0, bps + side1]
+        ch_bps = jnp.stack([bps + side0, bps + side1])       # (C, B)
         err = err | ((chan_code <= 7) & (chan_code != 1))
     else:
-        ch_bps = [jnp.full((B,), bps, jnp.int32)] * C
+        ch_bps = jnp.full((C, B), bps, jnp.int32)
         err = err | (chan_code != C - 1)
 
-    pos = hdr_bits
-    sigs = []
-    for c in range(C):
-        sig, pos, err = _parse_subframe(
-            words, next_one, pos, jnp.asarray(ch_bps[c], jnp.int32), err, N=N
+    if C == 1:
+        sig, end, err = _parse_subframe(
+            words, sf_start[:, 0], ch_bps[0], err, N=N
         )
-        sigs.append(sig)
+        return sig[:, :, None], err
+
+    wordsC = jnp.concatenate([words] * C, axis=0)            # (C*B, W)
+    posC = sf_start.T.reshape(C * B)
+    ebC = ch_bps.reshape(C * B)
+    sigC, endC, errC = _parse_subframe(
+        wordsC, posC, ebC, jnp.tile(err, C), N=N
+    )
+    sigs = sigC.reshape(C, B, N)
+    err = errC.reshape(C, B).any(axis=0)
+    # chain validation: each subframe must end exactly where the layout
+    # index says the next one starts
+    ends = endC.reshape(C, B)
+    for c in range(C - 1):
+        err = err | (ends[c] != sf_start[:, c + 1])
 
     if C == 2:
-        a, b = sigs
+        a, b = sigs[0], sigs[1]
         is_ls = chan_code == 8
         is_rs = chan_code == 9
         is_ms = chan_code == 10
@@ -310,5 +440,5 @@ def decode_frames_device(windows_u8, hdr_bits, *, C: int, bps: int, N: int):
         )
         out = jnp.stack([left, right], axis=2)
     else:
-        out = jnp.stack(sigs, axis=2)
+        out = jnp.stack([sigs[c] for c in range(C)], axis=2)
     return out, err

@@ -73,6 +73,34 @@ def _utf8_tokens_jnp(fi):
     return vals.astype(jnp.uint32), lens.astype(jnp.int32), n_bytes
 
 
+def _exclusive_cumsum_last(L):
+    """Exact exclusive prefix sum along the last axis via MXU matmuls.
+
+    XLA's native cumsum lowers to log2(N) shifted adds over the whole
+    array (~35 ms for the (2048, 2, 4096) token-length tensor on v5e);
+    here it becomes one (.., 128) x (128, 128) matmul plus a tiny
+    inter-row carry.  Exactness: token lengths are <= 64 bits (Rice
+    validity, see device_codec) so they are exact in bfloat16, and
+    per-row totals are <= N * 64 <= 2^21 so the float32 MXU accumulation
+    is exact -- the result is bit-identical to ``jnp.cumsum``.
+    """
+    *_, N = L.shape
+    if N < 128 or N % 128:
+        return jnp.cumsum(L, axis=-1) - L
+    rows = N // 128
+    Lr = L.reshape(-1, rows, 128)
+    tri = jnp.triu(jnp.ones((128, 128), jnp.bfloat16))  # [i, j] = 1 for i <= j
+    incl = jax.lax.dot_general(
+        Lr.astype(jnp.bfloat16), tri,
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    tot = incl[:, :, -1]
+    carry = jnp.cumsum(tot, axis=1) - tot
+    out = incl + carry[:, :, None] - Lr.astype(jnp.float32)
+    return out.astype(jnp.int32).reshape(L.shape)
+
+
 def _scatter_tokens(words, vals, lens, offs):
     """Scatter-OR tokens (value<=32 bits) into the uint32 word buffer.
 
@@ -360,7 +388,7 @@ def plan_and_emit(
     L = jnp.where(
         rice_tok, q + 1 + k, jnp.where(is_verb[:, :, None], ch_bps[:, :, None], 0)
     )
-    E = jnp.cumsum(L, axis=2) - L
+    E = _exclusive_cumsum_last(L)
     base_off = (
         sf_start[:, :, None]
         + payload_base[:, :, None]
@@ -405,4 +433,12 @@ def plan_and_emit(
         words, ks.astype(jnp.uint32), jnp.where(p_used, pbits[:, :, None], 0), k_off
     )
 
-    return {"words": words, "frame_bits": frame_bits, "total_bits": total_bits}
+    return {
+        "words": words,
+        "frame_bits": frame_bits,
+        "total_bits": total_bits,
+        # (F, C) exact per-subframe bit counts: the encoder writes these
+        # into the FRTP v2 layout block so the device decoder can start
+        # every subframe in one batched pass (models/flac_format)
+        "subframe_bits": sf_bits,
+    }

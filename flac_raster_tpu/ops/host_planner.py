@@ -26,6 +26,7 @@ from .device_codec import (
     KIND_LPC,
     KIND_VERBATIM,
     MAX_ORDER_SLOTS,
+    MAX_RICE_TOKEN_BITS,
     PART_SLOTS,
 )
 from . import lpc as lpc_ops
@@ -62,7 +63,7 @@ def _rice_search_host(z: np.ndarray, order: int, max_po: int):
     cost += counts[None, None, :] * (ks.astype(np.int64)[None, :, None] + 1)
     vmask = (zmax[:, None, :] >> ks[None, :, None]) + np.uint64(1) + ks[
         None, :, None
-    ] <= np.uint64(64)
+    ] <= np.uint64(MAX_RICE_TOKEN_BITS)
     cost = np.where(vmask, cost, _BIG)
 
     totals, ks_sel = [], []

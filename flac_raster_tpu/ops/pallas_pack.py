@@ -13,8 +13,9 @@ Algorithm (all sizes static):
   * tokens are split into SUPER-tiles of ``T_SUPER`` consecutive tokens (one
     sequential grid step each) and SUB-tiles of ``T_SUB`` tokens;
   * a sub-tile's tokens land in a bounded word window: FLAC token pitch is
-    <= 64 bits (Rice validity: q+1+k <= 64; verbatim: bps <= 27) plus a
-    bounded inter-subframe gap, so ``T_SUB`` tokens span < W_SUB words;
+    <= 32 bits (planner cap: q+1+k <= MAX_RICE_TOKEN_BITS; verbatim:
+    bps <= 27) plus a bounded inter-subframe gap, so ``T_SUB`` tokens span
+    < W_SUB words;
   * for each sub-tile the kernel computes ``out[w] = sum_t [lw_t == w]*c0_t
     + [lw_t == w-1]*c1_t`` as a (T_SUB, W_ROWS, 128) compare/select/reduce
     (disjoint bit ranges make integer add equal OR), then accumulates it
@@ -51,9 +52,13 @@ __all__ = ["pack_tokens", "T_SUPER", "T_SUB", "MAX_TOKEN_BITS"]
 
 T_SUPER = 4096          # tokens per grid step
 T_SUB = 128             # tokens per inner reduction
-W_SUB_ROWS = 4          # sub-window rows of 128 words (512 words)
+W_SUB_ROWS = 3          # sub-window rows of 128 words (384 words)
 GAP_BITS = 1024         # bound on non-sample bits between consecutive tokens
-MAX_PITCH_BITS = 64     # start-to-start bound within a subframe (Rice validity)
+# start-to-start bound within a subframe: the planners enforce
+# q + 1 + k <= device_codec.MAX_RICE_TOKEN_BITS (= 32) on every Rice token
+# and verbatim pitch is bps <= 27; tightening this from 64 cut the kernel's
+# compare window from 4 rows to 3
+MAX_PITCH_BITS = 32
 MAX_TOKEN_BITS = 31     # every token value must fit 31 bits (callers: <= 27)
 
 

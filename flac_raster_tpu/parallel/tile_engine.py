@@ -218,19 +218,22 @@ def make_tile_emit_step(
         out = plan_and_emit(tiles[0], frame0, **emit_kw)
         words = out["words"][None]                              # (1, W)
         frame_bits = out["frame_bits"][None]                    # (1, tF)
+        sub_bits = out["subframe_bits"][None]                   # (1, tF, C)
         tile_local = (frame_bits >> 3).sum(axis=1)              # (1,)
         tile_body = jax.lax.psum(tile_local, "blocks")          # (1,)
         all_tiles = jax.lax.all_gather(tile_body, "tiles", tiled=True)
         offsets_all = jnp.cumsum(all_tiles) - all_tiles
         t_pos = jax.lax.axis_index("tiles")
         offsets = jax.lax.dynamic_slice_in_dim(offsets_all, t_pos, 1)
-        return words, frame_bits, tile_body.astype(jnp.int32), offsets.astype(jnp.int32)
+        return (words, frame_bits, sub_bits, tile_body.astype(jnp.int32),
+                offsets.astype(jnp.int32))
 
     sharded = shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P("tiles", "blocks", None, None),),
         out_specs=(
+            P("tiles", "blocks"),
             P("tiles", "blocks"),
             P("tiles", "blocks"),
             P("tiles"),
@@ -240,10 +243,11 @@ def make_tile_emit_step(
 
     @jax.jit
     def step(tiles):
-        words, frame_bits, tile_body, offsets = sharded(tiles)
+        words, frame_bits, sub_bits, tile_body, offsets = sharded(tiles)
         return {
             "words": words,
             "frame_bits": frame_bits,
+            "subframe_bits": sub_bits,
             "tile_body_bytes": tile_body,
             "offsets": offsets,
         }
@@ -347,6 +351,7 @@ def encode_flac_batch_mesh(
     sharding = NamedSharding(mesh, P("tiles", "blocks", None, None))
 
     frame_bits = np.empty((T, Fp), np.int64)
+    sub_bits_all = np.empty((T, Fp, channels), np.int64)
     words = np.empty((T, blocks_axis * W), np.uint32)
     for g0 in range(0, T, tiles_axis):
         g1 = min(g0 + tiles_axis, T)
@@ -357,6 +362,7 @@ def encode_flac_batch_mesh(
             )
         out = step(jax.device_put(jnp.asarray(group), sharding))
         frame_bits[g0:g1] = np.asarray(out["frame_bits"])[: g1 - g0]
+        sub_bits_all[g0:g1] = np.asarray(out["subframe_bits"])[: g1 - g0]
         words[g0:g1] = np.asarray(out["words"])[: g1 - g0]
 
     streams: list[bytes] = []
@@ -381,13 +387,16 @@ def encode_flac_batch_mesh(
         _patch_crcs(buf, fb_real, hdr_bits.astype(np.int64))
         chunks = [buf.tobytes()]
         sizes = [fb_real >> 3]
+        subs = [sub_bits_all[t, :n_full, :-1]]
         if n_full * blocksize < n:
             tail = smp[t, n_full * blocksize :]
             chunks.append(
                 _emit_tail_frame(tail, n_full, bits_per_sample, sr_code, bps_code, cfg)
             )
             sizes.append(np.array([len(chunks[-1])], np.int64))
+            subs.append(np.zeros((1, channels - 1), np.int64))
         all_sizes = np.concatenate(sizes)
+        all_subs = np.concatenate(subs) if channels > 1 else None
         md5 = (
             md5_of_samples(samples_batch[t].astype(np.int32), bits_per_sample)
             if compute_md5
@@ -404,7 +413,10 @@ def encode_flac_batch_mesh(
             total_samples=n,
             md5=md5,
         )
+        from ..models.flac_format import LAYOUT_FLAG_TOK32
+
         header = build_flac_header(streaminfo, comments_list[t], vendor,
-                                   frame_sizes=all_sizes)
+                                   frame_sizes=all_sizes, sub_bits=all_subs,
+                                   layout_flags=LAYOUT_FLAG_TOK32)
         streams.append(bytes(header) + b"".join(chunks))
     return streams

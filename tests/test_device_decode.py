@@ -29,12 +29,28 @@ def _check(blob, expected):
 
 
 def test_layout_block_written_and_parsed(rng):
+    from flac_raster_tpu.models.flac_format import LAYOUT_FLAG_TOK32
+
     x = rng.integers(-100, 100, (N * 3 + 50, 1)).astype(np.int32)
     blob = encode_flac_fast(x, 44100, 16, 5, blocksize=N)
     _, blocks, _ = parse_flac_metadata(blob)
     layout = parse_layout_block(blocks)
-    assert layout is not None and layout.size == 4  # 3 full + tail
-    assert int(layout.sum()) == len(blob) - parse_flac_metadata(blob)[2]
+    assert layout is not None and layout.sizes.size == 4  # 3 full + tail
+    assert int(layout.sizes.sum()) == len(blob) - parse_flac_metadata(blob)[2]
+    assert layout.version == 2 and (layout.flags & LAYOUT_FLAG_TOK32)
+
+
+def test_layout_v2_subframe_bits(rng):
+    """2-channel streams carry per-frame subframe bit lengths that chain to
+    the frame body size."""
+    x = np.cumsum(rng.integers(-40, 41, (N * 3, 2)), axis=0).astype(np.int32)
+    blob = encode_flac_fast(x, 44100, 16, 5, blocksize=N)
+    si, blocks, _ = parse_flac_metadata(blob)
+    layout = parse_layout_block(blocks)
+    assert layout.sub_bits is not None and layout.sub_bits.shape == (3, 1)
+    assert (layout.sub_bits > 0).all()
+    # subframe 0 must end inside the frame body
+    assert (layout.sub_bits[:, 0] < layout.sizes[:3] * 8).all()
 
 
 @pytest.mark.parametrize("channels", [1, 2, 3, 8])

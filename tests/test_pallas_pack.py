@@ -16,6 +16,8 @@ from flac_raster_tpu.ops.pallas_pack import MAX_TOKEN_BITS, pack_tokens
 
 def _random_stream(rng, nt, slots, max_len=27, dead_frac=0.15):
     """Monotone disjoint token stream honoring pack_tokens' preconditions."""
+    from flac_raster_tpu.ops.pallas_pack import MAX_PITCH_BITS
+
     assert max_len <= MAX_TOKEN_BITS
     vals = np.zeros(nt, np.uint32)
     lens = np.zeros(nt, np.int32)
@@ -26,7 +28,11 @@ def _random_stream(rng, nt, slots, max_len=27, dead_frac=0.15):
             offs[t] = pos  # dead slot, keeps offsets monotone
             continue
         length = int(rng.integers(1, max_len + 1))
-        gap = int(rng.integers(0, 64 - length + 1)) if rng.random() < 0.5 else 0
+        gap = (
+            int(rng.integers(0, MAX_PITCH_BITS - length + 1))
+            if rng.random() < 0.5 and length < MAX_PITCH_BITS
+            else 0
+        )
         if t % slots == slots - 1:
             gap += int(rng.integers(0, 900))  # subframe-crossing gap
         pos += gap

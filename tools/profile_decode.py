@@ -21,7 +21,9 @@ import numpy as np
 
 
 def sync(x):
-    return np.asarray(x).ravel()[:1]
+    # device-side slice FIRST: np.asarray on the full array would drag the
+    # whole output through the ~20 MB/s tunnel and dominate every timing
+    return np.asarray(x.ravel()[0:1])
 
 
 def timeit(fn, n=3):
@@ -79,58 +81,57 @@ def main() -> int:
 
     # ---- stage timings on one chunk ---------------------------------------
     from flac_raster_tpu.models.flac_format import parse_flac_metadata, parse_layout_block
-    from flac_raster_tpu.codec.device_decoder import (
-        _GATHER_CACHE, _gather_windows_jit, _utf8_len_bytes, _bs_tail_bits,
-    )
+    from flac_raster_tpu.codec import device_decoder as drv
     from flac_raster_tpu.ops import device_decode as dd
 
     buf = blob
     si, blocks, frame_start = parse_flac_metadata(buf)
     layout = parse_layout_block(blocks)
     arr = np.frombuffer(buf, np.uint8)
-    sizes = np.asarray(layout, np.int64)
+    sizes = np.asarray(layout.sizes, np.int64)
     offsets = frame_start + np.concatenate([[0], np.cumsum(sizes)])
     full_frames = si.total_samples // N
     fi = np.arange(full_frames, dtype=np.int64)
-    hdr_bits_all = (32 + _utf8_len_bytes(fi) * 8 + _bs_tail_bits(N) + 8).astype(np.int32)
+    hdr_bits_all = (
+        32 + drv._utf8_len_bytes(fi) * 8 + drv._bs_tail_bits(N) + 8
+    ).astype(np.int32)
 
-    body_len = 1 << max(6, (len(arr) - 1).bit_length())
+    body_len = 1 << max(6, (len(arr) + 63).bit_length())
     body = np.zeros(body_len, np.uint8)
     body[: len(arr)] = arr
 
     dt = timeit(lambda: sync(jnp.asarray(body)))
     print(f"upload body ({body_len/1e6:.1f} MB)     : {dt*1e3:8.1f} ms  {raw_mb/dt:7.1f} MB/s raw-equiv")
-    body_dev = jnp.asarray(body)
+    to_words = drv._body_words_jit()
+    body_w = to_words(jnp.asarray(body))
+    sync(body_w)
 
     B = min(chunk, full_frames)
-    maxB = ((int(sizes[:full_frames].max()) + 3) // 4) * 4 + 8
-    maxB = 1 << max(4, (maxB - 1).bit_length())
-    gather = _GATHER_CACHE.setdefault(maxB, _gather_windows_jit(maxB))
-    offs = jnp.asarray(offsets[:B].astype(np.int32))
-    hb = jnp.asarray(hdr_bits_all[:B])
-    windows = gather(body_dev, offs)
+    maxW = 1 << max(
+        4, ((int(sizes[:full_frames].max()) + 3) // 4 + dd._TW).bit_length()
+    )
+    gather = drv._GATHER_CACHE.setdefault(maxW, drv._gather_windows_jit(maxW))
+    offs = offsets[:B]
+    woffs = jnp.asarray((offs >> 2).astype(np.int32))
+    bb_np = ((offs & 3) * 8).astype(np.int32)
+    bb = jnp.asarray(bb_np)
+    sf_rel = np.zeros((B, C), np.int64)
+    sf_rel[:, 0] = hdr_bits_all[:B]
+    if C > 1:
+        sf_rel[:, 1:] = sf_rel[:, :1] + np.cumsum(layout.sub_bits[:B], axis=1)
+    sf = jnp.asarray((sf_rel + bb_np[:, None]).astype(np.int32))
+    windows = gather(body_w, woffs)
     sync(windows)
     n_chunks = (full_frames + B - 1) // B
-    dt = timeit(lambda: sync(gather(body_dev, offs)))
-    print(f"gather windows (B={B}, {maxB}B): {dt*1e3:8.1f} ms/chunk x{n_chunks}")
-
-    # next-one table alone
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=())
-    def next_one_only(w_u8):
-        wb = w_u8.reshape(B, maxB // 4, 4).astype(jnp.uint32)
-        words = (wb[:, :, 0] << 24) | (wb[:, :, 1] << 16) | (wb[:, :, 2] << 8) | wb[:, :, 3]
-        return dd._next_one_table(words)
-
-    sync(next_one_only(windows))
-    dt = timeit(lambda: sync(next_one_only(windows)))
-    print(f"next-one table ({maxB*8} bits): {dt*1e3:8.1f} ms/chunk")
+    dt = timeit(lambda: sync(gather(body_w, woffs)))
+    print(f"gather windows (B={B}, {maxW} words): {dt*1e3:8.1f} ms/chunk x{n_chunks}")
 
     # full frame decode kernel
-    out, err = dd.decode_frames_device(windows, hb, C=C, bps=16, N=N)
+    out, err = dd.decode_frames_device(windows, bb, sf, C=C, bps=16, N=N)
     sync(out)
-    dt = timeit(lambda: sync(dd.decode_frames_device(windows, hb, C=C, bps=16, N=N)[0]))
+    dt = timeit(
+        lambda: sync(dd.decode_frames_device(windows, bb, sf, C=C, bps=16, N=N)[0])
+    )
     chunk_mb = B * N * C * 2 / 1e6
     print(f"decode_frames_device       : {dt*1e3:8.1f} ms/chunk  "
           f"{chunk_mb/dt:7.1f} MB/s raw ({chunk_mb:.1f} MB/chunk)")
