@@ -11,7 +11,7 @@ reference recipes run unchanged, plus this framework's additions (exact
 lossless modes, device-batched tile engine).
 """
 
-from .codec.decoder import decode_flac
+from .codec.decoder import decode_flac, decode_flac_range
 from .codec.device_encoder import encode_flac_device
 from .codec.device_decoder import decode_flac_device
 from .codec.encoder import encode_flac
@@ -62,6 +62,7 @@ __all__ = [
     "encode_flac_device",
     "encode_flac_batch",
     "decode_flac",
+    "decode_flac_range",
     "decode_flac_device",
     # Comparison utilities
     "compare_tiffs",

@@ -219,10 +219,52 @@ def _show_flac_info(path: Path) -> None:
 # extract
 # ---------------------------------------------------------------------------
 
+
+def _extract_rows(args) -> int:
+    """Row-window extraction from a plain whole-raster FLAC file.
+
+    Uses the FRTP decode index (codec/decoder.decode_flac_range) so only
+    the frames covering the window are parsed.  New capability vs the
+    reference, whose windowed access requires the tiled containers.
+    """
+    from .converter import RasterFLACConverter
+    from .io.geo import Affine
+    from .io.geotiff import write_geotiff
+    from .io.remote import download_remote, is_remote_url
+
+    try:
+        row0_s, count_s = args.rows.split(":", 1)
+        row0, n_rows = int(row0_s), int(count_s)
+    except ValueError:
+        print("--rows expects START:COUNT (e.g. 1024:512)", file=sys.stderr)
+        return 1
+    src = args.flac_file
+    blob = (
+        download_remote(src) if is_remote_url(src) else Path(src).read_bytes()
+    )
+    conv = RasterFLACConverter()
+    data, meta = conv.decode_rows(blob, row0, n_rows)
+    transform = meta.get("transform")
+    if transform is not None:
+        t = Affine(*transform) if not isinstance(transform, Affine) else transform
+        # shift the origin down by row0 pixels
+        transform = Affine(t.a, t.b, t.c + t.b * row0, t.d, t.e, t.f + t.e * row0)
+    write_geotiff(
+        Path(args.output), data, crs=meta.get("crs"), transform=transform,
+        nodata=meta.get("nodata"),
+    )
+    print(f"Extracted rows {row0}..{row0 + n_rows} -> {args.output} "
+          f"({data.shape[0]} band(s), {n_rows}x{data.shape[2]})")
+    return 0
+
+
 def cmd_extract(args) -> int:
     _setup_logging(False)
     try:
         from .io.remote import RemoteFile, is_remote_url
+
+        if args.rows:
+            return _extract_rows(args)
         from .models.streaming import load_streaming_index, read_streaming_tile
 
         source = args.flac_file if is_remote_url(args.flac_file) else Path(args.flac_file)
@@ -407,6 +449,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--tile-id", type=int, help="Extract specific tile by ID")
     e.add_argument("--center", action="store_true", help="Extract center tile")
     e.add_argument("--last", action="store_true", help="Extract last tile")
+    e.add_argument("--rows", metavar="START:COUNT",
+                   help="Plain (non-streaming) FLAC only: extract a raster "
+                        "row window via the embedded decode index")
     e.set_defaults(func=cmd_extract)
 
     q = sub.add_parser("query", help="Query spatial FLAC file by bounding box")

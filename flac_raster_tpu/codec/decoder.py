@@ -26,7 +26,9 @@ import numpy as np
 from ..models.flac_format import (
     BLOCK_VORBIS_COMMENT,
     StreamInfo,
+    build_flac_header,
     parse_flac_metadata,
+    parse_layout_block,
     parse_vorbis_comments,
 )
 from ..ops.bitpack import BitReader, bits_of
@@ -35,7 +37,12 @@ from ..ops.fixed import fixed_restore
 from ..ops.lpc import lpc_restore_batch
 from ..ops.rice import decode_rice_vectorized
 
-__all__ = ["decode_flac", "DecodedStream", "md5_of_samples"]
+__all__ = [
+    "decode_flac",
+    "decode_flac_range",
+    "DecodedStream",
+    "md5_of_samples",
+]
 
 _BLOCKSIZE_TABLE = {
     1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
@@ -379,6 +386,91 @@ def decode_flac(
         if got != streaminfo.md5:
             raise ValueError("decoded audio MD5 mismatch")
     return result
+
+
+def decode_flac_range(
+    data: bytes | np.ndarray,
+    start_sample: int,
+    num_samples: int | None = None,
+    verify_crc: bool = True,
+) -> DecodedStream:
+    """Decode only the frames covering ``[start_sample, start_sample+num)``.
+
+    Random access without walking the stream: the FRTP layout block (the
+    decode index our encoders embed, ``models/flac_format``) maps the
+    requested sample window to a frame byte span, and only that span is
+    parsed -- O(window) work + O(metadata), not O(file).  The reference
+    has no equivalent for plain FLAC files (its range access exists only
+    in the tiled spatial/streaming containers, ``spatial_encoder.py``).
+
+    Falls back to a full decode + slice for foreign streams without the
+    index.  Returns a DecodedStream whose ``samples`` holds exactly the
+    requested rows; ``streaminfo``/``comments`` are the ORIGINAL stream's.
+    """
+    buf = bytes(data) if not isinstance(data, (bytes, bytearray)) else bytes(data)
+    si, blocks, frame_start = parse_flac_metadata(buf)
+    total = si.total_samples
+    if start_sample < 0 or (num_samples is not None and num_samples < 0):
+        raise ValueError("sample range outside the stream")
+    if total == 0:
+        # STREAMINFO leaves the length unknown (reference libFLAC streaming
+        # files do this): nothing to index against, decode fully and slice
+        dec = decode_flac(buf, verify_crc=verify_crc)
+        end = None if num_samples is None else start_sample + num_samples
+        dec.samples = dec.samples[start_sample:end]
+        return dec
+    if num_samples is None:
+        num_samples = max(total - start_sample, 0)
+    if start_sample + num_samples > total:
+        raise ValueError("sample range outside the stream")
+    vendor, comments = "", {}
+    for b in blocks:
+        if b.block_type == BLOCK_VORBIS_COMMENT:
+            vendor, comments = parse_vorbis_comments(b.data)
+
+    layout = parse_layout_block(blocks)
+    N = si.max_blocksize
+    if layout is None or si.min_blocksize != N or N == 0 or total == 0:
+        dec = decode_flac(buf, verify_crc=verify_crc)
+        dec.samples = dec.samples[start_sample : start_sample + num_samples]
+        return dec
+
+    sizes = np.asarray(layout.sizes, np.int64)
+    offsets = frame_start + np.concatenate([[0], np.cumsum(sizes)])
+    if offsets[-1] != len(buf):
+        dec = decode_flac(buf, verify_crc=verify_crc)
+        dec.samples = dec.samples[start_sample : start_sample + num_samples]
+        return dec
+    n_frames = len(sizes)
+    f0 = min(start_sample // N, n_frames - 1)
+    f1 = min(-(-(start_sample + num_samples) // N), n_frames) if num_samples else f0
+    f1 = max(f1, f0 + 1) if num_samples else f1
+    span_samples = min(total, f1 * N) - f0 * N
+
+    if num_samples == 0:
+        return DecodedStream(
+            np.empty((0, si.channels), np.int32), si, comments, vendor
+        )
+
+    # wrap the frame span in a minimal stream so the normal (native-
+    # accelerated) decode path handles it; frame numbers are informational
+    # in fixed-blocksize streams and are not re-validated
+    mini_si = StreamInfo(
+        min_blocksize=si.min_blocksize,
+        max_blocksize=N,
+        min_framesize=0,
+        max_framesize=0,
+        sample_rate=si.sample_rate,
+        channels=si.channels,
+        bits_per_sample=si.bits_per_sample,
+        total_samples=span_samples,
+    )
+    mini = build_flac_header(mini_si) + buf[offsets[f0] : offsets[f1]]
+    dec = decode_flac(mini, verify_crc=verify_crc)
+    lo = start_sample - f0 * N
+    return DecodedStream(
+        dec.samples[lo : lo + num_samples], si, comments, vendor
+    )
 
 
 def _restore_all(frames, out: np.ndarray) -> None:

@@ -93,13 +93,22 @@ def decode_flac_device(
     verify_crc: bool = True,
     verify_md5: bool = False,
     chunk_frames: int = 512,
+    sample_range: "tuple[int, int] | None" = None,
 ) -> DecodedStream:
     """Decode a FLAC stream with the device pipeline.
 
     Returns a DecodedStream whose ``samples`` is a **jax.Array** of shape
     (total_samples, channels) int32 resident on the default device.  Output
     values are bit-identical to codec/decoder.decode_flac (tested).
+
+    ``sample_range=(start, count)`` decodes only the frames covering that
+    window (random access via the FRTP layout index): only the covering
+    byte span is uploaded and decoded, and ``samples`` holds exactly
+    ``count`` rows.  Incompatible with ``verify_md5`` (the MD5 covers the
+    whole stream).
     """
+    if sample_range is not None and verify_md5:
+        raise ValueError("verify_md5 requires a full decode")
     import jax
     import jax.numpy as jnp
 
@@ -137,6 +146,24 @@ def decode_flac_device(
     if len(layout.sizes) != full_frames + (1 if tail_samples else 0):
         return _host_fallback(buf, verify_crc, "layout/frame-count mismatch")
 
+    if sample_range is not None:
+        s0, cnt = sample_range
+        if s0 < 0 or cnt < 0 or s0 + cnt > total:
+            raise ValueError("sample range outside the stream")
+        rf0 = min(s0 // N, max(len(layout.sizes) - 1, 0))
+        rf1 = min(-(-(s0 + cnt) // N), len(layout.sizes)) if cnt else rf0
+    else:
+        s0, cnt = 0, total
+        rf0, rf1 = 0, len(layout.sizes)
+    rf1_full = min(rf1, full_frames)
+    range_tail = rf1 > full_frames and tail_samples
+    if sample_range is not None and cnt == 0:
+        import jax.numpy as _jnp
+
+        return DecodedStream(
+            _jnp.zeros((0, C), _jnp.int32), si, {}, ""
+        )
+
     arr = np.frombuffer(buf, np.uint8)
     sizes = np.asarray(layout.sizes, np.int64)
     offsets = frame_start + np.concatenate([[0], np.cumsum(sizes)])
@@ -147,14 +174,15 @@ def decode_flac_device(
         from .. import native
 
         if native.available():
-            calc = native.crc16_spans(arr, offsets[:-1], sizes - 2)
+            o_r, s_r = offsets[rf0:rf1], sizes[rf0:rf1]
+            calc = native.crc16_spans(arr, o_r, s_r - 2)
             stored = (
-                arr[offsets[:-1] + sizes - 2].astype(np.uint16) << 8
-            ) | arr[offsets[:-1] + sizes - 1]
+                arr[o_r + s_r - 2].astype(np.uint16) << 8
+            ) | arr[o_r + s_r - 1]
             bad = np.nonzero(calc != stored)[0]
             if bad.size:
                 raise ValueError(
-                    f"frame CRC-16 mismatch at byte {int(offsets[bad[0]])}"
+                    f"frame CRC-16 mismatch at byte {int(o_r[bad[0]])}"
                 )
 
     vendor, comments = "", {}
@@ -170,8 +198,8 @@ def decode_flac_device(
         np.int32
     )
 
-    if full_frames:
-        max_size = int(sizes[:full_frames].max())
+    if rf1_full > rf0:
+        max_size = int(sizes[rf0:rf1_full].max())
     else:
         max_size = 16
     # window words: frame bytes + the kernel's _TW-word gather lookahead
@@ -179,12 +207,20 @@ def decode_flac_device(
 
     maxW = (max_size + 3) // 4 + _TW + 1
 
-    # pad the body upload to a power-of-two bucket (bounds compile count);
-    # +64 bytes of zeros so the kernel's _TW-word window reads past the
-    # last frame land on zeros, not clip-duplicated stream bytes
-    body_len = 1 << max(6, (len(arr) + 63).bit_length())
+    # pad the body upload to a {1, 1.5} x power-of-two bucket (bounds
+    # compile count at O(log) shapes while capping upload overfetch at
+    # ~33% -- the upload rides the ~20 MB/s tunnel here); +64 bytes of
+    # zeros so the kernel's _TW-word window reads past the last frame land
+    # on zeros, not clip-duplicated stream bytes
+    byte_lo = int(offsets[rf0]) & ~3  # word-aligned re-base
+    byte_hi = int(offsets[rf1])
+    arr_eff = arr[byte_lo:byte_hi]
+    need = len(arr_eff) + 64
+    body_len = 1 << max(6, (need - 1).bit_length())
+    if body_len > 128 and need <= (body_len * 3) // 4:
+        body_len = (body_len * 3) // 4
     body = np.zeros(body_len, np.uint8)
-    body[: len(arr)] = arr
+    body[: len(arr_eff)] = arr_eff
     global _BODY_WORDS
     if _BODY_WORDS is None:
         _BODY_WORDS = _body_words_jit()
@@ -208,16 +244,16 @@ def decode_flac_device(
     # once at the end (a per-chunk sync would serialize the pipeline)
     parts = []
     errs = []
-    for f0 in range(0, full_frames, chunk_frames):
-        f1 = min(f0 + chunk_frames, full_frames)
+    for f0 in range(rf0, rf1_full, chunk_frames):
+        f1 = min(f0 + chunk_frames, rf1_full)
         B = f1 - f0
         Bp = 1 << max(0, (B - 1)).bit_length()
         offs = np.zeros(Bp, np.int64)
-        offs[:B] = offsets[f0:f1]
+        offs[:B] = offsets[f0:f1] - byte_lo
         bit_base = ((offs & 3) * 8).astype(np.int32)
         sf = np.zeros((Bp, C), np.int32)
         sf[:B] = sf_rel[f0:f1]
-        sf[B:] = sf_rel[f0]
+        sf[B:] = sf_rel[f0] if B else 0
         sf += bit_base[:, None]
         windows = gather_windows(body_w, jnp.asarray((offs >> 2).astype(np.int32)))
         samples, err = decode_frames_device(
@@ -228,7 +264,7 @@ def decode_flac_device(
     if errs and any(bool(np.asarray(e).any()) for e in errs):
         return _host_fallback(buf, verify_crc, "in-graph structure flag")
 
-    if tail_samples:
+    if range_tail:
         # the tail frame is a partial block: decode it on host (tiny) by
         # wrapping its bytes in a minimal stream
         from ..models.flac_format import StreamInfo, build_flac_header
@@ -248,6 +284,9 @@ def decode_flac_device(
         parts.append(jnp.asarray(tail_dec.samples))
 
     samples_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    if sample_range is not None:
+        lo = s0 - rf0 * N
+        samples_dev = samples_dev[lo : lo + cnt]
     result = DecodedStream(samples_dev, si, comments, vendor)
     if verify_md5 and si.md5 != b"\x00" * 16:
         if md5_of_samples(np.asarray(samples_dev), bps) != si.md5:

@@ -334,6 +334,83 @@ class RasterFLACConverter:
         )
         logger.info("converted %s -> %s %s", flac_path, tiff_path, data.shape)
 
+
+    @staticmethod
+    def _denormalize_samples(decoded, meta) -> np.ndarray:
+        """Shared inverse-normalization: DecodedStream samples -> flat data.
+
+        Every normalization mode is elementwise per sample row, so this is
+        valid for any contiguous slice of the stream (used by decode_rows).
+        """
+        samples = decoded.samples  # (n, channels) int32
+        if decoded.streaminfo.bits_per_sample == 16:
+            # scale selection in denormalize_from_audio is dtype-driven
+            # (mirroring the reference's soundfile behavior)
+            samples = samples.astype(np.int16)
+        params: NormalizationParams | None = meta.get("normalization")
+
+        if params is not None and params.mode != MODE_MINMAX:
+            return denormalize_lossless(samples, params)
+        if params is None:
+            # reference-produced file: reconstruct params from fields
+            # (``converter.py:221-229``) and decode exactly as its
+            # soundfile path would
+            bps = 16 if decoded.streaminfo.bits_per_sample == 16 else 24
+            params = NormalizationParams(
+                data_min=meta["data_min"],
+                data_max=meta["data_max"],
+                original_dtype=meta["dtype"],
+                bits_per_sample=bps,
+                scale_factor=meta.get("scale_factor", 32767 if bps == 16 else 8388607),
+            )
+            return denormalize_from_audio(samples, params, soundfile_compat=True)
+        return denormalize_from_audio(samples, params)
+
+    def decode_rows(
+        self,
+        blob: bytes,
+        row0: int,
+        n_rows: int,
+        sidecar_path: Path | None = None,
+    ) -> tuple[np.ndarray, dict]:
+        """Decode only raster rows [row0, row0 + n_rows) from a FLAC blob.
+
+        Random access through the FRTP decode index
+        (codec/decoder.decode_flac_range): rows map to the contiguous
+        sample span [row0*width, (row0+n_rows)*width), and only the frames
+        covering it are parsed.  Returns ((bands, n_rows, width), metadata).
+        The reference can only do windowed reads through its tiled
+        spatial/streaming containers; this works on plain whole-raster
+        FLAC files.
+        """
+        from .codec.decoder import decode_flac_range
+
+        dec0 = decode_flac_range(blob, 0, 0, verify_crc=False)
+        meta = parse_geospatial_comments(dec0.comments)
+        if meta is None and sidecar_path is not None and sidecar_path.exists():
+            raw = json.loads(sidecar_path.read_text())
+            meta = {k: raw.get(k) for k in (
+                "crs", "width", "height", "count", "dtype", "nodata",
+                "data_min", "data_max", "transform", "bounds", "scale_factor",
+            )}
+            if raw.get("normalization"):
+                meta["normalization"] = NormalizationParams.from_dict(raw["normalization"])
+        if not meta:
+            raise ValueError("no geospatial metadata found in FLAC file or sidecar")
+        width, height, count = meta["width"], meta["height"], meta["count"]
+        if row0 < 0 or n_rows < 0 or row0 + n_rows > height:
+            raise ValueError("row range outside the raster")
+
+        decoded = decode_flac_range(
+            blob, row0 * width, n_rows * width, verify_crc=False
+        )
+        flat = self._denormalize_samples(decoded, meta)
+        if count > 1 or (flat.ndim > 1 and flat.shape[1] > 1):
+            data = flat.reshape(n_rows, width, count).transpose(2, 0, 1)
+        else:
+            data = flat.reshape(n_rows, width)[None]
+        return np.ascontiguousarray(data), meta
+
     def decode_bytes(
         self,
         blob: bytes,
@@ -367,31 +444,7 @@ class RasterFLACConverter:
             # layout); callers that know the tile window pass it here
             width, height = override_dims
             meta = dict(meta, width=width, height=height)
-        samples = decoded.samples  # (n, channels) int32
-        if decoded.streaminfo.bits_per_sample == 16:
-            # scale selection in denormalize_from_audio is dtype-driven
-            # (mirroring the reference's soundfile behavior)
-            samples = samples.astype(np.int16)
-        params: NormalizationParams | None = meta.get("normalization")
-
-        if params is not None and params.mode != MODE_MINMAX:
-            flat = denormalize_lossless(samples, params)
-        else:
-            if params is None:
-                # reference-produced file: reconstruct params from fields
-                # (``converter.py:221-229``) and decode exactly as its
-                # soundfile path would
-                bps = 16 if decoded.streaminfo.bits_per_sample == 16 else 24
-                params = NormalizationParams(
-                    data_min=meta["data_min"],
-                    data_max=meta["data_max"],
-                    original_dtype=meta["dtype"],
-                    bits_per_sample=bps,
-                    scale_factor=meta.get("scale_factor", 32767 if bps == 16 else 8388607),
-                )
-                flat = denormalize_from_audio(samples, params, soundfile_compat=True)
-            else:
-                flat = denormalize_from_audio(samples, params)
+        flat = self._denormalize_samples(decoded, meta)
 
         n_expected = width * height
         if flat.shape[0] != n_expected:

@@ -110,3 +110,21 @@ def test_minmax_flag(tmp_path, tif):
     back = tmp_path / "mmback.tif"
     assert main(["convert", str(flac), "-o", str(back)]) == 0
     assert np.array_equal(open_geotiff(back).read(), data)
+
+
+def test_extract_rows_plain_flac(tmp_path, tif):
+    """--rows extracts a raster row window from a PLAIN whole-raster FLAC
+    through the FRTP decode index (new vs the reference, which needs the
+    tiled containers for windowed access)."""
+    p, data = tif
+    flac = tmp_path / "whole.flac"
+    assert main(["convert", str(p), "-o", str(flac)]) == 0
+    out = tmp_path / "win.tif"
+    assert main(["extract", str(flac), "-o", str(out), "--rows", "50:40"]) == 0
+    with open_geotiff(out) as src:
+        win = src.read()
+        assert np.array_equal(win, data[:, 50:90])
+        # origin shifted down by 50 pixels
+        assert abs(src.transform.f - (40.5 - 0.001 * 50)) < 1e-9
+    assert main(["extract", str(flac), "-o", str(out), "--rows", "bad"]) == 1
+    assert main(["extract", str(flac), "-o", str(out), "--rows", "190:40"]) == 1

@@ -38,6 +38,24 @@ def test_lossless_roundtrip_every_dtype(tmp_path, rng, dtype):
     assert np.array_equal(back.view(np.uint8), data.view(np.uint8))
 
 
+@pytest.mark.parametrize("dtype", [np.int16, np.float64])
+def test_decode_rows_window(tmp_path, rng, dtype):
+    """Row-window random access on a plain whole-raster FLAC: only the
+    covering frames are parsed (FRTP index), values match a full decode."""
+    src, data = _make_tif(tmp_path, rng, dtype, bands=2, h=120, w=64)
+    conv = RasterFLACConverter()
+    conv.tiff_to_flac(src, tmp_path / "x.flac")
+    blob = (tmp_path / "x.flac").read_bytes()
+    for row0, n_rows in [(0, 10), (37, 41), (110, 10), (0, 120)]:
+        win, meta = conv.decode_rows(blob, row0, n_rows)
+        assert win.shape == (2, n_rows, 64)
+        assert np.array_equal(
+            win.view(np.uint8), data[:, row0 : row0 + n_rows].view(np.uint8)
+        )
+    with pytest.raises(ValueError):
+        conv.decode_rows(blob, 115, 10)
+
+
 def test_minmax_mode_roundtrip(tmp_path, rng):
     src, data = _make_tif(tmp_path, rng, np.uint8, bands=3)
     conv = RasterFLACConverter(lossless=False)

@@ -104,6 +104,28 @@ def test_device_decode_big_blocksize(rng):
     _check(blob, x)
 
 
+def test_device_decode_heavy_tail(rng):
+    """Heavy-tailed residuals push Rice tokens toward the 32-bit planner cap
+    (q+1+k == MAX_RICE_TOKEN_BITS at the extremes); decode must stay exact."""
+    n = N * 6
+    x = rng.normal(0, 30, (n, 2))
+    spikes = rng.random((n, 2)) < 0.01
+    x = np.where(spikes, rng.normal(0, 20000, (n, 2)), x)
+    x = np.clip(x, -32768, 32767).astype(np.int32)
+    blob = encode_flac_fast(x, 44100, 16, 5, blocksize=N)
+    _check(blob, x)
+
+
+def test_device_decode_max_quotient_tokens(rng):
+    """A lone extreme spike in an otherwise tiny-residual block forces a
+    maximal quotient under the capped k of its partition."""
+    x = rng.integers(-3, 4, (N * 2, 1)).astype(np.int32)
+    x[N // 2, 0] = 30000
+    x[N + 17, 0] = -29999
+    blob = encode_flac_fast(x, 44100, 16, 5, blocksize=N)
+    _check(blob, x)
+
+
 def test_foreign_stream_falls_back(ref_rgb_flac):
     """Reference libFLAC fixture has no layout block: host fallback, still a
     device array, still bit-exact."""
@@ -111,6 +133,72 @@ def test_foreign_stream_falls_back(ref_rgb_flac):
     host = decode_flac(blob, verify_crc=True)
     dev = decode_flac_device(blob, verify_crc=True)
     assert np.array_equal(np.asarray(dev.samples), host.samples)
+
+
+class TestRangeDecode:
+    """Random access through the FRTP layout index: host + device."""
+
+    def _fixture(self, rng, channels=2, n=N * 5 + 77):
+        base = np.cumsum(rng.integers(-40, 41, (n, channels)), axis=0)
+        x = np.clip(base, -30000, 30000).astype(np.int32)
+        return x, encode_flac_fast(x, 44100, 16, 5, blocksize=N)
+
+    @pytest.mark.parametrize(
+        "start,count",
+        [
+            (0, N),                      # first frame exactly
+            (N - 3, 7),                  # frame boundary crossing
+            (N * 2 + 5, N + 11),         # interior, unaligned
+            (N * 5 - 2, 60),             # crosses into the tail frame
+            (N * 5 + 70, 7),             # tail only
+            (0, N * 5 + 77),             # everything
+            (123, 0),                    # empty
+        ],
+    )
+    def test_host_range(self, rng, start, count):
+        from flac_raster_tpu.codec.decoder import decode_flac_range
+
+        x, blob = self._fixture(rng)
+        dec = decode_flac_range(blob, start, count)
+        assert np.array_equal(dec.samples, x[start : start + count])
+        assert dec.streaminfo.total_samples == x.shape[0]  # original metadata
+
+    def test_host_range_open_end(self, rng):
+        from flac_raster_tpu.codec.decoder import decode_flac_range
+
+        x, blob = self._fixture(rng)
+        dec = decode_flac_range(blob, N * 3 + 9)
+        assert np.array_equal(dec.samples, x[N * 3 + 9 :])
+
+    def test_host_range_out_of_bounds(self, rng):
+        from flac_raster_tpu.codec.decoder import decode_flac_range
+
+        x, blob = self._fixture(rng)
+        with pytest.raises(ValueError):
+            decode_flac_range(blob, x.shape[0] - 3, 10)
+
+    def test_host_range_foreign_stream(self, ref_rgb_flac):
+        """No layout index: falls back to full decode + slice."""
+        from flac_raster_tpu.codec.decoder import decode_flac, decode_flac_range
+
+        blob = ref_rgb_flac.read_bytes()
+        full = decode_flac(blob)
+        dec = decode_flac_range(blob, 1000, 500)
+        assert np.array_equal(dec.samples, full.samples[1000:1500])
+
+    @pytest.mark.parametrize(
+        "start,count",
+        [(N + 3, N * 2), (N * 5 - 2, 60), (0, 5), (N * 5 + 70, 7)],
+    )
+    def test_device_range(self, rng, start, count):
+        x, blob = self._fixture(rng)
+        dev = decode_flac_device(blob, sample_range=(start, count))
+        assert np.array_equal(np.asarray(dev.samples), x[start : start + count])
+
+    def test_device_range_md5_rejected(self, rng):
+        x, blob = self._fixture(rng)
+        with pytest.raises(ValueError):
+            decode_flac_device(blob, verify_md5=True, sample_range=(0, 5))
 
 
 def test_corrupt_frame_raises(rng):
