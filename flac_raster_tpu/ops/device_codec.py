@@ -87,12 +87,18 @@ PART_SLOTS = 64        # ks array width (max partition order 6 -> 64 parts)
 
 # test hook: run the Pallas rice-cost kernel in interpreter mode on CPU
 FORCE_PALLAS_INTERPRET = False
+# escape hatch: force the pure-XLA paths even on TPU (set by bench.py when a
+# Mosaic kernel fails to compile on the target stack, with jax.clear_caches()
+# to drop any traces that already chose the Pallas path)
+DISABLE_PALLAS = False
 
 
 def _use_pallas() -> bool:
     """Trace-time backend switch for the Pallas rice-cost kernel."""
     if FORCE_PALLAS_INTERPRET:
         return True
+    if DISABLE_PALLAS:
+        return False
     try:
         import jax as _jax
 
