@@ -51,8 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pack_tokens", "T_SUPER", "T_SUB", "MAX_TOKEN_BITS"]
 
 T_SUPER = 4096          # tokens per grid step
-T_SUB = 128             # tokens per inner reduction
-W_SUB_ROWS = 3          # sub-window rows of 128 words (384 words)
+# Per-token compare work is one test against every word-slot of its
+# sub-tile window, i.e. ~(T_SUB span + gap/alignment overhead) slots, so
+# SMALLER sub-tiles cost less until the fixed ~192-word gap+align overhead
+# dominates: T_SUB=64 -> 2-row window (256 slots/token) vs 128 -> 3 rows
+# (384) vs 256 -> 4 rows (512).
+T_SUB = 64              # tokens per inner reduction
+W_SUB_ROWS = 2          # sub-window rows of 128 words (256 words)
 GAP_BITS = 1024         # bound on non-sample bits between consecutive tokens
 # start-to-start bound within a subframe: the planners enforce
 # q + 1 + k <= device_codec.MAX_RICE_TOKEN_BITS (= 32) on every Rice token

@@ -98,6 +98,15 @@ def test_device_decode_scalar_encoder_stream(rng):
     _check(blob, x)
 
 
+@pytest.mark.parametrize("bs", [64, 128, 512])
+def test_device_decode_small_blocksizes(rng, bs):
+    """Blocksizes at/near the eligibility floor: the grouped Rice scan's
+    step padding (codes per step does not divide N) must stay exact."""
+    x = np.cumsum(rng.integers(-20, 21, (bs * 3 + 5, 2)), axis=0).astype(np.int32)
+    blob = encode_flac_fast(x, 44100, 16, 5, blocksize=bs)
+    _check(blob, x)
+
+
 def test_device_decode_big_blocksize(rng):
     x = np.cumsum(rng.integers(-9, 10, (4096 * 2 + 5, 2)), axis=0).astype(np.int32)
     blob = encode_flac_fast(x, 44100, 16, 5)
