@@ -92,7 +92,7 @@ def decode_flac_device(
     data,
     verify_crc: bool = True,
     verify_md5: bool = False,
-    chunk_frames: int = 512,
+    chunk_frames: int = 1024,
     sample_range: "tuple[int, int] | None" = None,
 ) -> DecodedStream:
     """Decode a FLAC stream with the device pipeline.
