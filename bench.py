@@ -212,17 +212,19 @@ def main() -> None:
         t0 = time.perf_counter()
         dev = decode_flac_device(blob, verify_crc=True)
         _sync(dev.samples[-8:])
-        extras["decode_device_mbps"] = round(raw_mb / (time.perf_counter() - t0), 2)
+        mbps_dev = round(raw_mb / (time.perf_counter() - t0), 2)
         # value gate: a fast-but-wrong device decode must not score (pull
-        # two small slices, compare against the verified host decode)
-        head = np.asarray(dev.samples[:65536])
-        tail_s = np.asarray(dev.samples[-65536:])
-        if not (
-            np.array_equal(head, dec.samples[:65536])
-            and np.array_equal(tail_s, dec.samples[-65536:])
+        # two small slices, compare against the verified host decode);
+        # without a successful host decode there is no reference -> no score
+        if "decode_host_mbps" not in extras:
+            extras["decode_device_error"] = "no host reference decode"
+        elif not (
+            np.array_equal(np.asarray(dev.samples[:65536]), dec.samples[:65536])
+            and np.array_equal(np.asarray(dev.samples[-65536:]), dec.samples[-65536:])
         ):
             extras["decode_device_error"] = "device decode mismatch vs host"
-            del extras["decode_device_mbps"]
+        else:
+            extras["decode_device_mbps"] = mbps_dev
     except Exception as exc:
         extras["decode_device_error"] = str(exc)[:120]
 

@@ -157,12 +157,6 @@ def decode_flac_device(
         rf0, rf1 = 0, len(layout.sizes)
     rf1_full = min(rf1, full_frames)
     range_tail = rf1 > full_frames and tail_samples
-    if sample_range is not None and cnt == 0:
-        import jax.numpy as _jnp
-
-        return DecodedStream(
-            _jnp.zeros((0, C), _jnp.int32), si, {}, ""
-        )
 
     arr = np.frombuffer(buf, np.uint8)
     sizes = np.asarray(layout.sizes, np.int64)
@@ -192,9 +186,13 @@ def decode_flac_device(
         if b.block_type == BLOCK_VORBIS_COMMENT:
             vendor, comments = parse_vorbis_comments(b.data)
 
-    # header bits incl. CRC-8 (fixed-blocksize: frame number = index)
-    fi = np.arange(full_frames, dtype=np.int64)
-    hdr_bits_all = (32 + _utf8_len_bytes(fi) * 8 + _bs_tail_bits(N) + 8).astype(
+    if sample_range is not None and cnt == 0:
+        return DecodedStream(jnp.zeros((0, C), jnp.int32), si, comments, vendor)
+
+    # header bits incl. CRC-8 (fixed-blocksize: frame number = index),
+    # computed only for the frame range in play (O(window), not O(file))
+    fi = np.arange(rf0, rf1_full, dtype=np.int64)
+    hdr_bits_r = (32 + _utf8_len_bytes(fi) * 8 + _bs_tail_bits(N) + 8).astype(
         np.int32
     )
 
@@ -231,12 +229,14 @@ def decode_flac_device(
     gather_windows = _GATHER_CACHE.setdefault(maxW, _gather_windows_jit(maxW))
 
     # per-frame subframe start offsets (relative to the frame start): col 0
-    # is the header, later columns add the layout block's subframe lengths
-    sf_rel = np.zeros((full_frames, C), np.int64)
-    sf_rel[:, 0] = hdr_bits_all[:full_frames]
+    # is the header, later columns add the layout block's subframe lengths;
+    # rows cover only frames [rf0, rf1_full)
+    n_r = rf1_full - rf0
+    sf_rel = np.zeros((n_r, C), np.int64)
+    sf_rel[:, 0] = hdr_bits_r[:n_r]
     if C > 1:
         sf_rel[:, 1:] = sf_rel[:, :1] + np.cumsum(
-            layout.sub_bits[:full_frames], axis=1
+            layout.sub_bits[rf0:rf1_full], axis=1
         )
 
     # dispatch every chunk before syncing anything: the device queue
@@ -252,8 +252,8 @@ def decode_flac_device(
         offs[:B] = offsets[f0:f1] - byte_lo
         bit_base = ((offs & 3) * 8).astype(np.int32)
         sf = np.zeros((Bp, C), np.int32)
-        sf[:B] = sf_rel[f0:f1]
-        sf[B:] = sf_rel[f0] if B else 0
+        sf[:B] = sf_rel[f0 - rf0 : f1 - rf0]
+        sf[B:] = sf_rel[f0 - rf0]
         sf += bit_base[:, None]
         windows = gather_windows(body_w, jnp.asarray((offs >> 2).astype(np.int32)))
         samples, err = decode_frames_device(

@@ -336,6 +336,20 @@ class RasterFLACConverter:
 
 
     @staticmethod
+    def _load_meta(comments: dict, sidecar_path: Path | None) -> dict | None:
+        """GEOSPATIAL_* metadata from Vorbis comments, else the JSON sidecar."""
+        meta = parse_geospatial_comments(comments)
+        if meta is None and sidecar_path is not None and sidecar_path.exists():
+            raw = json.loads(sidecar_path.read_text())
+            meta = {k: raw.get(k) for k in (
+                "crs", "width", "height", "count", "dtype", "nodata",
+                "data_min", "data_max", "transform", "bounds", "scale_factor",
+            )}
+            if raw.get("normalization"):
+                meta["normalization"] = NormalizationParams.from_dict(raw["normalization"])
+        return meta
+
+    @staticmethod
     def _denormalize_samples(decoded, meta) -> np.ndarray:
         """Shared inverse-normalization: DecodedStream samples -> flat data.
 
@@ -384,17 +398,20 @@ class RasterFLACConverter:
         FLAC files.
         """
         from .codec.decoder import decode_flac_range
+        from .models.flac_format import (
+            BLOCK_VORBIS_COMMENT,
+            parse_flac_metadata,
+            parse_vorbis_comments,
+        )
 
-        dec0 = decode_flac_range(blob, 0, 0, verify_crc=False)
-        meta = parse_geospatial_comments(dec0.comments)
-        if meta is None and sidecar_path is not None and sidecar_path.exists():
-            raw = json.loads(sidecar_path.read_text())
-            meta = {k: raw.get(k) for k in (
-                "crs", "width", "height", "count", "dtype", "nodata",
-                "data_min", "data_max", "transform", "bounds", "scale_factor",
-            )}
-            if raw.get("normalization"):
-                meta["normalization"] = NormalizationParams.from_dict(raw["normalization"])
+        # metadata straight from the header blocks: O(metadata) even for
+        # foreign streams (a zero-sample decode_flac_range would fall back
+        # to a FULL decode when the FRTP index is absent)
+        comments: dict = {}
+        for b in parse_flac_metadata(bytes(blob))[1]:
+            if b.block_type == BLOCK_VORBIS_COMMENT:
+                _, comments = parse_vorbis_comments(b.data)
+        meta = self._load_meta(comments, sidecar_path)
         if not meta:
             raise ValueError("no geospatial metadata found in FLAC file or sidecar")
         width, height, count = meta["width"], meta["height"], meta["count"]
@@ -426,15 +443,7 @@ class RasterFLACConverter:
             output matches the reference's own round-trip byte-for-byte
         """
         decoded = decode_flac(blob, verify_crc=False)
-        meta = parse_geospatial_comments(decoded.comments)
-        if meta is None and sidecar_path is not None and sidecar_path.exists():
-            raw = json.loads(sidecar_path.read_text())
-            meta = {k: raw.get(k) for k in (
-                "crs", "width", "height", "count", "dtype", "nodata",
-                "data_min", "data_max", "transform", "bounds", "scale_factor",
-            )}
-            if raw.get("normalization"):
-                meta["normalization"] = NormalizationParams.from_dict(raw["normalization"])
+        meta = self._load_meta(decoded.comments, sidecar_path)
         if not meta:
             raise ValueError("no geospatial metadata found in FLAC file or sidecar")
 

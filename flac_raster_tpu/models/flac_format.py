@@ -298,15 +298,26 @@ def build_flac_header(
     blocks: list[tuple[int, bytes]] = [(BLOCK_STREAMINFO, streaminfo.to_bytes())]
     if comments is not None:
         blocks.append((BLOCK_VORBIS_COMMENT, serialize_vorbis_comments(comments, vendor)))
-    if frame_sizes is not None and 0 < len(frame_sizes) <= _LAYOUT_MAX_FRAMES:
+    if frame_sizes is not None and len(frame_sizes) > 0:
+        import numpy as np
+
         if sub_bits is not None and len(sub_bits) != len(frame_sizes):
             sub_bits = None  # inconsistent caller data: drop to sizes-only
-        blocks.append(
-            (
-                BLOCK_APPLICATION,
-                serialize_layout_block(frame_sizes, sub_bits, layout_flags),
+        # the APPLICATION payload must fit a 24-bit block length; degrade
+        # gracefully for huge streams (drop subframe detail first, then the
+        # whole index) rather than failing the encode
+        n_sub = 0 if sub_bits is None else np.asarray(sub_bits).reshape(
+            len(frame_sizes), -1
+        ).shape[1]
+        if n_sub and len(frame_sizes) > _LAYOUT_MAX_FRAMES // (1 + n_sub):
+            sub_bits = None
+        if len(frame_sizes) <= _LAYOUT_MAX_FRAMES:
+            blocks.append(
+                (
+                    BLOCK_APPLICATION,
+                    serialize_layout_block(frame_sizes, sub_bits, layout_flags),
+                )
             )
-        )
     if padding > 0:
         blocks.append((BLOCK_PADDING, b"\x00" * padding))
     for i, (btype, payload) in enumerate(blocks):

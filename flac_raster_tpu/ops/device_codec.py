@@ -69,8 +69,8 @@ KMAX = 20              # largest Rice parameter searched on device
 # Every emitted Rice token obeys q + 1 + k <= MAX_RICE_TOKEN_BITS (k bumped /
 # partition escaped otherwise; shared by all three planners so the encoders
 # stay byte-identical).  32 -- rather than FLAC's implicit 2^q freedom --
-# lets the device decoder group a guaranteed 9 codes per 13-word window read
-# (ops/device_decode) and halves the pack kernel's compare window
+# lets the device decoder group a guaranteed _GROUP (10) codes per 13-word
+# window read (ops/device_decode) and shrinks the pack kernel's compare window
 # (ops/pallas_pack).  Size cost: only partitions whose max quotient would
 # exceed the budget pick a larger k; measured parity vs libFLAC -5 holds.
 MAX_RICE_TOKEN_BITS = 32

@@ -79,10 +79,11 @@ def _exclusive_cumsum_last(L):
     XLA's native cumsum lowers to log2(N) shifted adds over the whole
     array (~35 ms for the (2048, 2, 4096) token-length tensor on v5e);
     here it becomes one (.., 128) x (128, 128) matmul plus a tiny
-    inter-row carry.  Exactness: token lengths are <= 64 bits (Rice
-    validity, see device_codec) so they are exact in bfloat16, and
-    per-row totals are <= N * 64 <= 2^21 so the float32 MXU accumulation
-    is exact -- the result is bit-identical to ``jnp.cumsum``.
+    inter-row carry.  Exactness: token lengths are <= 32 bits (the
+    planners' MAX_RICE_TOKEN_BITS cap; 64 would also be fine) so they are
+    exact in bfloat16, and per-row totals are <= N * 64 <= 2^21 so the
+    float32 MXU accumulation is exact -- the result is bit-identical to
+    ``jnp.cumsum``.
     """
     *_, N = L.shape
     if N < 128 or N % 128:
