@@ -224,3 +224,53 @@ def test_32bps_falls_back(rng):
     blob = encode_flac_fast(x, 44100, 32, 5, blocksize=N)
     dev = decode_flac_device(blob)  # bps > device width -> host fallback
     assert np.array_equal(np.asarray(dev.samples), x)
+
+
+def test_layout_block_overflow_degrades_gracefully():
+    """A decode index too large for a 24-bit APPLICATION block must degrade
+    (drop subframe detail, then the index) rather than abort the encode."""
+    from flac_raster_tpu.models.flac_format import (
+        LAYOUT_FLAG_TOK32,
+        StreamInfo,
+        build_flac_header,
+        parse_flac_metadata,
+        parse_layout_block,
+    )
+
+    si = StreamInfo(
+        min_blocksize=N, max_blocksize=N, min_framesize=10, max_framesize=20,
+        sample_rate=44100, channels=2, bits_per_sample=16,
+        total_samples=N * 3_000_000,
+    )
+    big = np.full(3_000_000, 16, np.int64)
+    subs = np.full((3_000_000, 1), 100, np.int64)
+    # v2 with subframe detail would be ~24 MB: detail must be dropped but
+    # the sizes index (12 MB) still fits
+    hdr = build_flac_header(si, frame_sizes=big, sub_bits=subs,
+                            layout_flags=LAYOUT_FLAG_TOK32)
+    layout = parse_layout_block(parse_flac_metadata(bytes(hdr) )[1])
+    assert layout is not None and layout.sub_bits is None
+    assert layout.flags & LAYOUT_FLAG_TOK32
+    # sizes alone beyond the 24-bit budget: the index is omitted entirely
+    huge = np.full(5_000_000, 16, np.int64)
+    hdr2 = build_flac_header(si, frame_sizes=huge)
+    assert parse_layout_block(parse_flac_metadata(bytes(hdr2))[1]) is None
+
+
+def test_range_decode_random_configs(rng):
+    """Property fuzz: decode_flac_range == full decode slice across random
+    stream shapes and windows."""
+    from flac_raster_tpu.codec.decoder import decode_flac_range
+
+    for _ in range(6):
+        bs = int(rng.choice([64, 256, 1024]))
+        ch = int(rng.integers(1, 4))
+        n = int(rng.integers(bs, bs * 6)) + int(rng.integers(0, bs))
+        level = int(rng.choice([0, 2, 5]))
+        x = np.cumsum(rng.integers(-60, 61, (n, ch)), axis=0)
+        x = np.clip(x, -30000, 30000).astype(np.int32)
+        blob = encode_flac_fast(x, 44100, 16, level, blocksize=bs)
+        s0 = int(rng.integers(0, n))
+        cnt = int(rng.integers(0, n - s0 + 1))
+        dec = decode_flac_range(blob, s0, cnt)
+        assert np.array_equal(dec.samples, x[s0 : s0 + cnt]), (bs, ch, n, s0, cnt)
