@@ -230,6 +230,27 @@ def main() -> None:
 
     extras["ratio"] = round(data.nbytes / len(blob), 3)
 
+    # lossless-mode ratios on the reference repo's committed fixtures
+    # (note: BASELINE.md's published 15.25x/7.26x are for its SYNTHETIC
+    # generator content, not these fixtures -- these keys track parity on
+    # identical inputs across rounds, with a bit-exact round-trip gate)
+    try:
+        from pathlib import Path
+
+        from flac_raster_tpu.io.geotiff import open_geotiff
+
+        for key, name in (("ratio_fixture_dem_int16", "sample_dem.tif"),
+                          ("ratio_fixture_rgb_uint8", "sample_rgb.tif")):
+            p = Path("/root/reference/test_data") / name
+            if p.exists():
+                arr = open_geotiff(p).read()
+                fb = conv.encode_array(arr)
+                back, _ = conv.decode_bytes(fb)
+                assert np.array_equal(back, arr)
+                extras[key] = round(arr.nbytes / len(fb), 2)
+    except Exception as exc:
+        extras["ratio_fixture_error"] = str(exc)[:120]
+
     print(
         json.dumps(
             {
