@@ -42,15 +42,20 @@ def _src_digest() -> str:
 
 def _build() -> bool:
     cxx = os.environ.get("CXX", "g++")
-    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
-           str(_SRC), "-o", str(_LIB_PATH)]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        _STAMP_PATH.write_text(_src_digest())
-        return True
-    except Exception as exc:  # pragma: no cover - depends on toolchain
-        logger.warning("native build failed (%s); using numpy fallback", exc)
-        return False
+    base = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
+            str(_SRC), "-o", str(_LIB_PATH)]
+    # the library is always built on the machine that runs it (content-hash
+    # gated), so -march=native is safe and vectorizes the CRC/Rice loops;
+    # retried without it for compilers that reject the flag
+    for cmd in ([*base[:2], "-march=native", *base[2:]], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            _STAMP_PATH.write_text(_src_digest())
+            return True
+        except Exception as exc:  # pragma: no cover - depends on toolchain
+            last = exc
+    logger.warning("native build failed (%s); using numpy fallback", last)
+    return False
 
 
 def _is_current() -> bool:
