@@ -79,11 +79,21 @@ _GATHER_CACHE: dict[int, object] = {}
 _BODY_WORDS = None
 
 
-def _host_fallback(buf: bytes, verify_crc: bool, reason: str) -> DecodedStream:
+def _host_fallback(
+    buf: bytes,
+    verify_crc: bool,
+    reason: str,
+    sample_range: "tuple[int, int] | None" = None,
+) -> DecodedStream:
     import jax.numpy as jnp
 
     logger.debug("device decode fallback (%s)", reason)
-    dec = decode_flac(buf, verify_crc=verify_crc)
+    if sample_range is not None:
+        from .decoder import decode_flac_range
+
+        dec = decode_flac_range(buf, *sample_range, verify_crc=verify_crc)
+    else:
+        dec = decode_flac(buf, verify_crc=verify_crc)
     dec.samples = jnp.asarray(dec.samples)
     return dec
 
@@ -137,14 +147,17 @@ def decode_flac_device(
     )
     if not eligible:
         return _host_fallback(
-            buf, verify_crc, "no v2 layout index / unsupported shape"
+            buf, verify_crc, "no v2 layout index / unsupported shape",
+            sample_range,
         )
 
     total = si.total_samples
     full_frames = total // N
     tail_samples = total - full_frames * N
     if len(layout.sizes) != full_frames + (1 if tail_samples else 0):
-        return _host_fallback(buf, verify_crc, "layout/frame-count mismatch")
+        return _host_fallback(
+            buf, verify_crc, "layout/frame-count mismatch", sample_range
+        )
 
     if sample_range is not None:
         s0, cnt = sample_range
@@ -162,7 +175,9 @@ def decode_flac_device(
     sizes = np.asarray(layout.sizes, np.int64)
     offsets = frame_start + np.concatenate([[0], np.cumsum(sizes)])
     if offsets[-1] != len(buf):
-        return _host_fallback(buf, verify_crc, "layout/body-size mismatch")
+        return _host_fallback(
+            buf, verify_crc, "layout/body-size mismatch", sample_range
+        )
 
     if verify_crc:
         from .. import native
@@ -262,7 +277,9 @@ def decode_flac_device(
         errs.append(err[:B])
         parts.append(samples[:B].reshape(B * N, C))
     if errs and any(bool(np.asarray(e).any()) for e in errs):
-        return _host_fallback(buf, verify_crc, "in-graph structure flag")
+        return _host_fallback(
+            buf, verify_crc, "in-graph structure flag", sample_range
+        )
 
     if range_tail:
         # the tail frame is a partial block: decode it on host (tiny) by

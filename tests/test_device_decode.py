@@ -274,3 +274,14 @@ def test_range_decode_random_configs(rng):
         cnt = int(rng.integers(0, n - s0 + 1))
         dec = decode_flac_range(blob, s0, cnt)
         assert np.array_equal(dec.samples, x[s0 : s0 + cnt]), (bs, ch, n, s0, cnt)
+
+
+def test_device_range_on_ineligible_stream(ref_rgb_flac):
+    """sample_range must be honored even when the stream lacks the v2 index
+    (host fallback): the returned rows are the window, not the full file."""
+    blob = ref_rgb_flac.read_bytes()
+    host = decode_flac(blob, verify_crc=True)
+    dev = decode_flac_device(blob, sample_range=(1000, 300))
+    got = np.asarray(dev.samples)
+    assert got.shape[0] == 300
+    assert np.array_equal(got, host.samples[1000:1300])
