@@ -31,8 +31,11 @@ import time
 
 import numpy as np
 
+import os
+
 BASELINE_MBPS = 40.0
-SIZE = 8192  # pixels per side
+# FRTPU_BENCH_SIZE: dev knob for smoke-testing the full bench flow on CPU
+SIZE = int(os.environ.get("FRTPU_BENCH_SIZE", 8192))  # pixels per side
 
 
 def make_raster(size: int) -> np.ndarray:
