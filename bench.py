@@ -27,11 +27,10 @@ breakdown (VERDICT round-1 item #2):
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
-
-import os
 
 BASELINE_MBPS = 40.0
 # FRTPU_BENCH_SIZE: dev knob for smoke-testing the full bench flow on CPU

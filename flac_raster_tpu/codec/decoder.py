@@ -428,29 +428,27 @@ def decode_flac_range(
         if b.block_type == BLOCK_VORBIS_COMMENT:
             vendor, comments = parse_vorbis_comments(b.data)
 
-    layout = parse_layout_block(blocks)
-    N = si.max_blocksize
-    if layout is None or si.min_blocksize != N or N == 0 or total == 0:
-        dec = decode_flac(buf, verify_crc=verify_crc)
-        dec.samples = dec.samples[start_sample : start_sample + num_samples]
-        return dec
-
-    sizes = np.asarray(layout.sizes, np.int64)
-    offsets = frame_start + np.concatenate([[0], np.cumsum(sizes)])
-    if offsets[-1] != len(buf):
-        dec = decode_flac(buf, verify_crc=verify_crc)
-        dec.samples = dec.samples[start_sample : start_sample + num_samples]
-        return dec
-    n_frames = len(sizes)
-    f0 = min(start_sample // N, n_frames - 1)
-    f1 = min(-(-(start_sample + num_samples) // N), n_frames) if num_samples else f0
-    f1 = max(f1, f0 + 1) if num_samples else f1
-    span_samples = min(total, f1 * N) - f0 * N
-
     if num_samples == 0:
         return DecodedStream(
             np.empty((0, si.channels), np.int32), si, comments, vendor
         )
+
+    layout = parse_layout_block(blocks)
+    N = si.max_blocksize
+    if layout is None or si.min_blocksize != N or N == 0:
+        dec = decode_flac(buf, verify_crc=verify_crc)
+        dec.samples = dec.samples[start_sample : start_sample + num_samples]
+        return dec
+
+    offsets = layout.absolute_offsets(frame_start)
+    if offsets[-1] != len(buf):
+        dec = decode_flac(buf, verify_crc=verify_crc)
+        dec.samples = dec.samples[start_sample : start_sample + num_samples]
+        return dec
+    n_frames = len(layout.sizes)
+    f0 = min(start_sample // N, n_frames - 1)
+    f1 = min(-(-(start_sample + num_samples) // N), n_frames)
+    span_samples = min(total, f1 * N) - f0 * N
 
     # wrap the frame span in a minimal stream so the normal (native-
     # accelerated) decode path handles it; frame numbers are informational

@@ -173,7 +173,7 @@ def decode_flac_device(
 
     arr = np.frombuffer(buf, np.uint8)
     sizes = np.asarray(layout.sizes, np.int64)
-    offsets = frame_start + np.concatenate([[0], np.cumsum(sizes)])
+    offsets = layout.absolute_offsets(frame_start)
     if offsets[-1] != len(buf):
         return _host_fallback(
             buf, verify_crc, "layout/body-size mismatch", sample_range

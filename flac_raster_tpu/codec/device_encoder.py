@@ -27,7 +27,11 @@ logger = logging.getLogger("flac_raster_tpu.device_encoder")
 
 import jax.numpy as jnp
 
-from ..models.flac_format import StreamInfo, build_flac_header
+from ..models.flac_format import (
+    LAYOUT_FLAG_TOK32,
+    StreamInfo,
+    build_flac_header,
+)
 from ..ops.device_emit import plan_and_emit, worst_case_words
 from .decoder import md5_of_samples
 from .encoder import _BPS_CODES, _SAMPLE_RATE_CODES, EncoderConfig
@@ -268,8 +272,6 @@ def encode_flac_device(
         total_samples=n,
         md5=md5,
     )
-    from ..models.flac_format import LAYOUT_FLAG_TOK32
-
     header = build_flac_header(streaminfo, comments, vendor, padding,
                                frame_sizes=all_sizes, sub_bits=all_subs,
                                layout_flags=LAYOUT_FLAG_TOK32)

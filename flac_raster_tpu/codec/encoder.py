@@ -26,7 +26,11 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..models.flac_format import StreamInfo, build_flac_header
+from ..models.flac_format import (
+    LAYOUT_FLAG_TOK32,
+    StreamInfo,
+    build_flac_header,
+)
 from ..ops import lpc as lpc_ops
 from ..ops.bitpack import pack_tokens
 from ..ops.crc import crc8_rows, crc16_rows
@@ -501,8 +505,6 @@ def encode_flac(
         md5=md5,
     )
     frame_sizes = [e + 2 - s for s, e in frame_spans]
-    from ..models.flac_format import LAYOUT_FLAG_TOK32
-
     tok32 = getattr(sink, "max_token_bits", 0) <= MAX_RICE_TOKEN_BITS
     sub_bits = (
         np.asarray(sub_bits_rows, np.int64)

@@ -33,7 +33,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..models.flac_format import StreamInfo, build_flac_header
+from ..models.flac_format import (
+    LAYOUT_FLAG_TOK32,
+    StreamInfo,
+    build_flac_header,
+)
 from ..ops.bitpack import pack_tokens
 from ..ops.crc import crc8_rows, crc16_rows
 from ..ops.device_codec import (
@@ -78,7 +82,7 @@ def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
                 blocksize=blocksize,
                 bps=bps,
                 max_lpc_order=cfg.max_lpc_order,
-        apodizations=cfg.apodizations,
+                apodizations=cfg.apodizations,
                 max_partition_order=min(cfg.max_partition_order, 6),
                 use_lpc=cfg.use_lpc,
             )
@@ -638,8 +642,6 @@ def encode_flac_fast(
         total_samples=n,
         md5=md5,
     )
-    from ..models.flac_format import LAYOUT_FLAG_TOK32
-
     header = build_flac_header(streaminfo, comments, vendor, padding,
                                frame_sizes=all_sizes, sub_bits=all_subs,
                                layout_flags=LAYOUT_FLAG_TOK32)
@@ -801,8 +803,6 @@ def encode_flac_batch(
             total_samples=n,
             md5=md5,
         )
-        from ..models.flac_format import LAYOUT_FLAG_TOK32
-
         header = build_flac_header(streaminfo, comments_list[t], vendor,
                                    frame_sizes=all_sizes, sub_bits=all_subs,
                                    layout_flags=LAYOUT_FLAG_TOK32)

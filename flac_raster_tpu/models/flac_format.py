@@ -208,6 +208,13 @@ class LayoutIndex:
         self.flags = flags
         self.version = version
 
+    def absolute_offsets(self, frame_start: int):
+        """(frames+1,) int64 absolute byte offsets; [-1] is end-of-stream."""
+        import numpy as np
+
+        sizes = np.asarray(self.sizes, np.int64)
+        return frame_start + np.concatenate([[0], np.cumsum(sizes)])
+
 
 def serialize_layout_block(frame_sizes, sub_bits=None, flags=0) -> bytes:
     """APPLICATION payload carrying per-frame byte sizes (the decode index).

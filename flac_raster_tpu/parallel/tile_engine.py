@@ -290,7 +290,7 @@ def encode_flac_batch_mesh(
         encode_flac_batch,
     )
     from ..codec.device_encoder import _patch_crcs, _utf8_nbytes
-    from ..models.flac_format import StreamInfo, build_flac_header
+    from ..models.flac_format import LAYOUT_FLAG_TOK32, StreamInfo, build_flac_header
 
     samples_batch = np.asarray(samples_batch)
     if samples_batch.ndim == 2:
@@ -413,8 +413,6 @@ def encode_flac_batch_mesh(
             total_samples=n,
             md5=md5,
         )
-        from ..models.flac_format import LAYOUT_FLAG_TOK32
-
         header = build_flac_header(streaminfo, comments_list[t], vendor,
                                    frame_sizes=all_sizes, sub_bits=all_subs,
                                    layout_flags=LAYOUT_FLAG_TOK32)
