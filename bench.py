@@ -13,8 +13,21 @@ no throughput numbers (SURVEY.md §6); 40 MB/s is a representative libFLAC -5
 encode rate for 16-bit PCM on one CPU core, used as the fixed denominator so
 vs_baseline is comparable across rounds.
 
-Prints ONE JSON line.  Keys beyond the required four are the stage
-breakdown (VERDICT round-1 item #2):
+Output protocol (designed so a number ALWAYS lands, even if a later stage
+stalls -- round-2 lesson: one cold tunnel compile in the extras sank the
+whole run to rc=124 with zero signal):
+
+  1. the headline JSON line is printed (flushed) IMMEDIATELY after the
+     timed encode pass + bit-exact round-trip gate;
+  2. extras (stage breakdown, decode rates, ratios) then run under a
+     wall-clock budget (FRTPU_BENCH_BUDGET_S, default 900 s) with a
+     heartbeat on stderr so any stall is attributable;
+  3. a SECOND, richer JSON line (same headline keys + extras) is printed
+     at the end -- by a watchdog with whatever was collected if the budget
+     expires.  Parsers that read the last JSON line get the rich one;
+     parsers that see a killed process still find line 1 in the tail.
+
+Extra keys (VERDICT round-1 item #2):
   device_mbps    -- plan_and_emit compute only (synced by a tiny pull);
                     this is the number that predicts real-hardware
                     throughput once the tunnel readback disappears
@@ -28,6 +41,8 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -35,6 +50,30 @@ import numpy as np
 BASELINE_MBPS = 40.0
 # FRTPU_BENCH_SIZE: dev knob for smoke-testing the full bench flow on CPU
 SIZE = int(os.environ.get("FRTPU_BENCH_SIZE", 8192))  # pixels per side
+# wall-clock budget for everything AFTER the headline line (seconds)
+BUDGET_S = float(os.environ.get("FRTPU_BENCH_BUDGET_S", 900))
+
+_T0 = time.monotonic()
+_STAGE = ["startup"]
+
+
+def _note(stage: str) -> None:
+    """Mark the current stage on stderr so a stall is attributable."""
+    _STAGE[0] = stage
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {stage}", file=sys.stderr, flush=True)
+
+
+def _start_heartbeat(period_s: float = 30.0) -> None:
+    def beat() -> None:
+        while True:
+            time.sleep(period_s)
+            print(
+                f"[bench +{time.monotonic() - _T0:7.1f}s] ...still in: {_STAGE[0]}",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    threading.Thread(target=beat, daemon=True).start()
 
 
 def make_raster(size: int) -> np.ndarray:
@@ -89,6 +128,8 @@ def stage_breakdown(samples: np.ndarray) -> dict:
         (c0, min(c0 + chunk, n_full)) for c0 in range(0, n_full, chunk)
     ]
     bounds = [(c0, c1) for c0, c1 in bounds if c1 - c0 == chunk]  # full chunks
+    if not bounds:  # smoke-size rasters have no full chunk to measure
+        return {"stage_error": f"raster too small for {chunk}-frame chunking"}
 
     # warm both executables
     out = plan_and_emit(jnp.asarray(full[: chunk]), jnp.int32(0),
@@ -150,6 +191,8 @@ def stage_breakdown(samples: np.ndarray) -> dict:
 
 
 def main() -> None:
+    _start_heartbeat()
+    _note("importing jax")
     import jax
 
     # persistent compile cache: tunnel TPU compiles are minutes; cache makes
@@ -169,101 +212,152 @@ def main() -> None:
     # steady-state serving throughput.  If a Mosaic kernel fails to compile
     # on this TPU stack, fall back to the pure-XLA paths rather than
     # sinking the benchmark (escape hatch: device_codec.DISABLE_PALLAS).
+    _note("warmup encode (compiles executables; cold cache = minutes on the tunnel)")
     try:
         conv.encode_array(data[:, :, : (2048 * 4096) // SIZE])
     except Exception:
+        _note("warmup failed; retrying with Pallas disabled")
         from flac_raster_tpu.ops import device_codec
 
         device_codec.DISABLE_PALLAS = True
         jax.clear_caches()
         conv.encode_array(data[:, :, : (2048 * 4096) // SIZE])
+    _note("warmup full pass")
     conv.encode_array(data)
     raw_mb = data.nbytes / 1e6
 
+    _note("timed encode pass")
     t0 = time.perf_counter()
     blob = conv.encode_array(data)
     dt = time.perf_counter() - t0
 
     # bit-exact round-trip gate: a fast-but-wrong encode must not score
+    _note("round-trip gate (host decode)")
     back, _ = conv.decode_bytes(blob)
     assert back.dtype == data.dtype and np.array_equal(back, data), "round-trip failed"
+    dec_gate = None  # reused by the device-decode value gate below
 
     mbps = raw_mb / dt
-    extras = {}
-    try:
-        samples = (data.reshape(1, -1).T).astype(np.uint16)  # (n, 1)
-        extras.update(stage_breakdown(samples))
-    except Exception as exc:  # breakdown must never sink the headline
-        extras["stage_error"] = str(exc)[:120]
+    headline = {
+        "metric": "encode_throughput_uint16_level5",
+        "value": round(mbps, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / BASELINE_MBPS, 3),
+    }
+    # --- the number lands NOW, before anything that could stall ---
+    print(json.dumps(headline), flush=True)
+    _note(f"headline printed: {headline['value']} MB/s; extras budget {BUDGET_S:.0f}s")
 
-    # decode throughput: host (native C) and device (TPU-resident ingest)
-    try:
-        from flac_raster_tpu.codec.decoder import decode_flac
+    extras: dict = {}
+    emitted = threading.Event()
 
-        t0 = time.perf_counter()
-        dec = decode_flac(blob, verify_crc=True)
-        extras["decode_host_mbps"] = round(raw_mb / (time.perf_counter() - t0), 2)
-        assert dec.samples.shape[0] == data.size
-    except Exception as exc:
-        extras["decode_host_error"] = str(exc)[:120]
-    try:
-        from flac_raster_tpu.codec.device_decoder import decode_flac_device
+    def emit_final() -> None:
+        if emitted.is_set():
+            return
+        emitted.set()
+        print(json.dumps({**headline, **extras}), flush=True)
 
-        dev = decode_flac_device(blob, verify_crc=True)  # warm compile
-        _sync(dev.samples[:8])
-        t0 = time.perf_counter()
-        dev = decode_flac_device(blob, verify_crc=True)
-        _sync(dev.samples[-8:])
-        mbps_dev = round(raw_mb / (time.perf_counter() - t0), 2)
-        # value gate: a fast-but-wrong device decode must not score (pull
-        # two small slices, compare against the verified host decode);
-        # without a successful host decode there is no reference -> no score
-        if "decode_host_mbps" not in extras:
-            extras["decode_device_error"] = "no host reference decode"
-        elif not (
-            np.array_equal(np.asarray(dev.samples[:65536]), dec.samples[:65536])
-            and np.array_equal(np.asarray(dev.samples[-65536:]), dec.samples[-65536:])
-        ):
-            extras["decode_device_error"] = "device decode mismatch vs host"
-        else:
-            extras["decode_device_mbps"] = mbps_dev
-    except Exception as exc:
-        extras["decode_device_error"] = str(exc)[:120]
+    def watchdog() -> None:
+        _note(f"extras budget ({BUDGET_S:.0f}s) expired during: {_STAGE[0]}")
+        extras["extras_truncated_in"] = _STAGE[0]
+        emit_final()
+        os._exit(0)
+
+    deadline = time.monotonic() + BUDGET_S
+    timer = threading.Timer(BUDGET_S, watchdog)
+    timer.daemon = True
+    timer.start()
+
+    def remaining() -> float:
+        return deadline - time.monotonic()
 
     extras["ratio"] = round(data.nbytes / len(blob), 3)
+
+    if remaining() > 60:
+        _note("extras: stage breakdown")
+        try:
+            samples = (data.reshape(1, -1).T).astype(np.uint16)  # (n, 1)
+            extras.update(stage_breakdown(samples))
+        except Exception as exc:  # breakdown must never sink the headline
+            extras["stage_error"] = str(exc)[:120]
+
+    # decode throughput: host (native C) and device (TPU-resident ingest)
+    if remaining() > 30:
+        _note("extras: host decode timing")
+        try:
+            from flac_raster_tpu.codec.decoder import decode_flac
+
+            t0 = time.perf_counter()
+            dec_gate = decode_flac(blob, verify_crc=True)
+            extras["decode_host_mbps"] = round(raw_mb / (time.perf_counter() - t0), 2)
+            assert dec_gate.samples.shape[0] == data.size
+        except Exception as exc:
+            extras["decode_host_error"] = str(exc)[:120]
+
+    if remaining() > 120:
+        _note("extras: device decode (compile + timing)")
+        try:
+            from flac_raster_tpu.codec.device_decoder import decode_flac_device
+
+            dev = decode_flac_device(blob, verify_crc=True)  # warm compile
+            _sync(dev.samples[:8])
+            t0 = time.perf_counter()
+            dev = decode_flac_device(blob, verify_crc=True)
+            _sync(dev.samples[-8:])
+            mbps_dev = round(raw_mb / (time.perf_counter() - t0), 2)
+            # value gate: a fast-but-wrong device decode must not score.
+            # Samples head, tail, AND a seeded interior window (a mid-stream
+            # corruption with correct ends must not score) vs verified host
+            # decode; without a host reference there is no score.
+            if dec_gate is None:
+                extras["decode_device_error"] = "no host reference decode"
+            else:
+                n = dec_gate.samples.shape[0]
+                win = 65536
+                i0 = int(np.random.default_rng(7).integers(win, max(n - 2 * win, win + 1)))
+                ok = (
+                    np.array_equal(np.asarray(dev.samples[:win]), dec_gate.samples[:win])
+                    and np.array_equal(np.asarray(dev.samples[-win:]), dec_gate.samples[-win:])
+                    and np.array_equal(
+                        np.asarray(dev.samples[i0 : i0 + win]),
+                        dec_gate.samples[i0 : i0 + win],
+                    )
+                )
+                if ok:
+                    extras["decode_device_mbps"] = mbps_dev
+                else:
+                    extras["decode_device_error"] = "device decode mismatch vs host"
+        except Exception as exc:
+            extras["decode_device_error"] = str(exc)[:120]
 
     # lossless-mode ratios on the reference repo's committed fixtures
     # (note: BASELINE.md's published 15.25x/7.26x are for its SYNTHETIC
     # generator content, not these fixtures -- these keys track parity on
-    # identical inputs across rounds, with a bit-exact round-trip gate)
-    try:
-        from pathlib import Path
+    # identical inputs across rounds, with a bit-exact round-trip gate).
+    # New shapes = new tunnel compiles, so this runs LAST and only with
+    # plenty of budget left.
+    if remaining() > 240:
+        _note("extras: fixture ratios (new shapes; compiles on cold cache)")
+        try:
+            from pathlib import Path
 
-        from flac_raster_tpu.io.geotiff import open_geotiff
+            from flac_raster_tpu.io.geotiff import open_geotiff
 
-        for key, name in (("ratio_fixture_dem_int16", "sample_dem.tif"),
-                          ("ratio_fixture_rgb_uint8", "sample_rgb.tif")):
-            p = Path("/root/reference/test_data") / name
-            if p.exists():
-                arr = open_geotiff(p).read()
-                fb = conv.encode_array(arr)
-                back, _ = conv.decode_bytes(fb)
-                assert np.array_equal(back, arr)
-                extras[key] = round(arr.nbytes / len(fb), 2)
-    except Exception as exc:
-        extras["ratio_fixture_error"] = str(exc)[:120]
+            for key, name in (("ratio_fixture_dem_int16", "sample_dem.tif"),
+                              ("ratio_fixture_rgb_uint8", "sample_rgb.tif")):
+                p = Path("/root/reference/test_data") / name
+                if p.exists() and remaining() > 120:
+                    arr = open_geotiff(p).read()
+                    fb = conv.encode_array(arr)
+                    back, _ = conv.decode_bytes(fb)
+                    assert np.array_equal(back, arr)
+                    extras[key] = round(arr.nbytes / len(fb), 2)
+        except Exception as exc:
+            extras["ratio_fixture_error"] = str(exc)[:120]
 
-    print(
-        json.dumps(
-            {
-                "metric": "encode_throughput_uint16_level5",
-                "value": round(mbps, 2),
-                "unit": "MB/s",
-                "vs_baseline": round(mbps / BASELINE_MBPS, 3),
-                **extras,
-            }
-        )
-    )
+    timer.cancel()
+    _note("extras done")
+    emit_final()
 
 
 if __name__ == "__main__":
