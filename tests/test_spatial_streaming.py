@@ -20,19 +20,22 @@ from flac_raster_tpu.models.streaming import (
 )
 
 
-@pytest.fixture
-def raster_tif(tmp_path, rng):
+@pytest.fixture(scope="module")
+def raster_tif(tmp_path_factory):
+    rng = np.random.default_rng(1234)
     data = rng.integers(-1000, 3000, (1, 300, 400)).astype(np.int16)
-    p = tmp_path / "r.tif"
+    p = tmp_path_factory.mktemp("raster") / "r.tif"
     write_geotiff(p, data, crs="EPSG:4326",
                   transform=Affine.from_origin(-105.5, 40.5, 0.001, 0.001))
     return p, data
 
 
-@pytest.fixture
-def spatial_flac(tmp_path, raster_tif):
+# Module scope: the spatial encode costs ~45 s of jit compiles on the CPU
+# mesh and every consumer only reads the artifacts — pay it once.
+@pytest.fixture(scope="module")
+def spatial_flac(tmp_path_factory, raster_tif):
     p, data = raster_tif
-    out = tmp_path / "s.flac"
+    out = tmp_path_factory.mktemp("spatial") / "s.flac"
     enc = SpatialFLACEncoder(tile_size=128)
     index = enc.encode_spatial_flac(p, out)
     return out, index, data
@@ -125,20 +128,20 @@ def test_sidecar_fallback(tmp_path, spatial_flac):
     assert len(st.spatial_index.frames) == len(index.frames)
 
 
-def test_remote_streamer_mocked_http(spatial_flac):
-    """Reference test pattern: @patch requests, replay local bytes, assert
-    the exact 1 MB metadata prefetch header."""
-    out, index, _ = spatial_flac
-    blob = out.read_bytes()
-    seen_headers = []
+def _fake_session(blob, seen_headers=None, barrier=None):
+    """requests.Session stand-in replaying ``blob`` for ranged GETs."""
+    session = MagicMock()
 
     def fake_get(url, headers=None, timeout=None):
-        seen_headers.append(headers)
+        if seen_headers is not None:
+            seen_headers.append(headers)
+        if barrier is not None:
+            barrier.wait()  # raises BrokenBarrierError unless N GETs overlap
         m = MagicMock()
-        rng = headers["Range"].split("=")[1]
-        a, b = rng.split("-")
+        a, b = headers["Range"].split("=")[1].split("-")
         m.status_code = 206
         m.content = blob[int(a) : int(b) + 1]
+        m.headers = {"Content-Range": f"bytes {a}-{b}/{len(blob)}"}
         return m
 
     def fake_head(url, timeout=None):
@@ -147,13 +150,131 @@ def test_remote_streamer_mocked_http(spatial_flac):
         m.raise_for_status = lambda: None
         return m
 
-    with patch("requests.get", side_effect=fake_get), \
-         patch("requests.head", side_effect=fake_head):
+    session.get.side_effect = fake_get
+    session.head.side_effect = fake_head
+    return session
+
+
+def test_remote_streamer_mocked_http(spatial_flac):
+    """Reference test pattern: replay local bytes through a fake session,
+    assert the exact 1 MB metadata prefetch header."""
+    out, index, _ = spatial_flac
+    blob = out.read_bytes()
+    seen_headers = []
+    session = _fake_session(blob, seen_headers)
+
+    with patch("flac_raster_tpu.io.remote.create_session", return_value=session):
         st = SpatialFLACStreamer("https://example.com/data.flac")
         assert seen_headers[0]["Range"] == "bytes=0-1048575"
         ranges = st.get_byte_ranges_for_bbox((-105.49, 40.49, -105.48, 40.5))
         got = st.stream_bbox_data((-105.49, 40.49, -105.48, 40.5))
         assert got == blob[ranges[0][0] : ranges[0][1] + 1]
+
+
+def test_streamer_remote_ranges_fetched_concurrently(spatial_flac):
+    """A multi-range bbox fetch must put every range in flight at once:
+    each fake GET blocks on a barrier sized to the range count, so the test
+    deadlocks (BrokenBarrierError) if the streamer fetches sequentially."""
+    import threading
+
+    out, index, _ = spatial_flac
+    blob = out.read_bytes()
+    st = SpatialFLACStreamer(out)  # index from the local file
+    st.is_remote = True
+    # one column, two rows -> two byte ranges separated by the row stride
+    bbox = (-105.49, 40.5 - 0.001 * 250, -105.48, 40.5)
+    ranges = st.get_byte_ranges_for_bbox(bbox)
+    assert len(ranges) >= 2, "fixture bbox must span non-adjacent tiles"
+
+    barrier = threading.Barrier(len(ranges), timeout=15)
+    session = _fake_session(blob, barrier=barrier)
+    with patch("flac_raster_tpu.io.remote.create_session", return_value=session):
+        from flac_raster_tpu.io.remote import RemoteFile
+
+        st._remote_file = RemoteFile("https://example.com/data.flac")
+        got = st.stream_bbox_data(bbox)
+    expect = b"".join(blob[s : e + 1] for s, e in ranges)
+    assert got == expect
+
+
+def test_read_many_order_and_fallback_200():
+    """read_many preserves input order; a 200 response (server ignoring
+    Range) degrades to slicing the full body, like the reference."""
+    from flac_raster_tpu.io.remote import RemoteFile
+
+    payload = bytes(range(256)) * 4
+    session = _fake_session(payload)
+    rf = RemoteFile("https://example.com/x.bin", session=session)
+    got = rf.read_many([(512, 515), (0, 3), (100, 101)])
+    assert got == [payload[512:516], payload[0:4], payload[100:102]]
+
+    full = MagicMock()
+    m = MagicMock()
+    m.status_code = 200
+    m.content = payload
+    full.get.return_value = m
+    rf2 = RemoteFile("https://example.com/x.bin", session=full)
+    assert rf2.read_range(5, 9) == payload[5:10]
+    assert rf2.file_size == len(payload)  # size learned from the 200 body
+
+
+def test_obstore_branch_with_injected_store():
+    """Credentialed cloud path: an injected object store (obstore-compatible)
+    serves get_range / get_ranges / head — exercises the branch the image
+    can't reach for lack of obstore."""
+    from flac_raster_tpu.io.remote import RemoteFile
+
+    payload = bytes(range(256))
+
+    class FakeStore:
+        def __init__(self):
+            self.range_calls = []
+            self.ranges_calls = []
+
+        def get_range(self, key, start, end):  # end exclusive, obstore-style
+            assert key == "a/b.flac"
+            self.range_calls.append((start, end))
+            return payload[start:end]
+
+        def get_ranges(self, key, starts, ends):
+            assert key == "a/b.flac"
+            self.ranges_calls.append((tuple(starts), tuple(ends)))
+            return [payload[s:e] for s, e in zip(starts, ends)]
+
+        def head(self, key):
+            m = MagicMock()
+            m.size = len(payload)
+            return m
+
+        def get(self, key):
+            return payload
+
+    store = FakeStore()
+    rf = RemoteFile("s3://bkt/a/b.flac", store=store)
+    assert rf.read_range(4, 7) == payload[4:8]
+    assert store.range_calls == [(4, 8)]
+    assert rf.read_many([(0, 1), (10, 19)]) == [payload[0:2], payload[10:20]]
+    assert store.ranges_calls == [((0, 10), (2, 20))]
+    assert rf.file_size == len(payload)
+    assert rf.read_all() == payload
+
+
+def test_iter_bbox_to_device(spatial_flac):
+    """Double-buffered tile ingest: frames arrive as device arrays, values
+    exact."""
+    out, index, data = spatial_flac
+    st = SpatialFLACStreamer(out)
+    bbox = (-105.49, 40.49, -105.45, 40.45)
+    expected = {f.frame_id for f in st.spatial_index.query_bbox(bbox)}
+    seen = set()
+    for f, tile in st.iter_bbox_to_device(bbox):
+        seen.add(f.frame_id)
+        w = f.window
+        assert np.array_equal(
+            np.asarray(tile),
+            data[:, w.row_off : w.row_off + w.height, w.col_off : w.col_off + w.width],
+        )
+    assert seen == expected
 
 
 # ---------------------------------------------------------------------------
@@ -205,17 +326,14 @@ def test_cloud_url_public_endpoint_fallback():
     assert cloud_url_to_https("gs://bkt/x.flac") == "https://storage.googleapis.com/bkt/x.flac"
 
     payload = bytes(range(256))
-    def fake_head(url, timeout=10):
-        m = MagicMock()
-        m.headers = {"content-length": str(len(payload)), "accept-ranges": "bytes"}
-        m.raise_for_status = lambda: None
-        assert url == "https://bkt.s3.amazonaws.com/a/b.flac"
-        return m
+    session = MagicMock()
     def fake_get(url, headers=None, timeout=60):
+        assert url == "https://bkt.s3.amazonaws.com/a/b.flac"
         a, b = map(int, headers["Range"].split("=")[1].split("-"))
         m = MagicMock(); m.status_code = 206; m.content = payload[a:b+1]
+        m.headers = {}
         return m
-    with patch("requests.head", side_effect=fake_head), \
-         patch("requests.get", side_effect=fake_get):
-        rf = RemoteFile("s3://bkt/a/b.flac")
-        assert rf.read_range(4, 7) == payload[4:8]
+    session.get.side_effect = fake_get
+    rf = RemoteFile("s3://bkt/a/b.flac", session=session)
+    assert rf.url == "https://bkt.s3.amazonaws.com/a/b.flac"
+    assert rf.read_range(4, 7) == payload[4:8]
