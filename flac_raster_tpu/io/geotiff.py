@@ -237,6 +237,85 @@ def _lzw_decode(data: bytes, max_out: int) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(raw: bytes) -> bytes:
+    """TIFF-flavor LZW encode (MSB-first, early code-size change) — exact
+    inverse discipline of ``_lzw_decode``; emits a clear code when the
+    12-bit table fills, like libtiff."""
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << size) | code
+        nbits += size
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, code_size = 258, 9
+    emit(256, code_size)  # clear
+    w = b""
+    for b in raw:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        # The decoder reconstructs each add one code later, so its table
+        # length equals next_code-1 here; its early-change rule
+        # (len+1 >= 1<<cs after the append) maps to next_code >= 1<<cs.
+        if next_code >= (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code == 4095:
+            emit(256, code_size)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, code_size = 258, 9
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+        # No add here, so the decoder's append for this code catches it up
+        # (len == next_code); mirror its possible width bump before EOI.
+        if next_code >= (1 << code_size) - 1 and code_size < 12:
+            code_size += 1
+    emit(257, code_size)  # end of information
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(raw: bytes, row_bytes: int | None = None) -> bytes:
+    """PackBits encode; TIFF packs each row independently, so compression
+    never crosses a row boundary."""
+    step = row_bytes or len(raw) or 1
+    out = bytearray()
+    for r0 in range(0, len(raw), step):
+        row = raw[r0 : r0 + step]
+        i, n = 0, len(row)
+        while i < n:
+            j = i
+            while j + 1 < n and row[j + 1] == row[i] and j - i < 127:
+                j += 1
+            run = j - i + 1
+            if run >= 2:
+                out.append(257 - run)
+                out.append(row[i])
+                i = j + 1
+                continue
+            lit0 = i
+            i += 1
+            while i < n and i - lit0 < 128:
+                if i + 2 < n and row[i] == row[i + 1] == row[i + 2]:
+                    break
+                i += 1
+            out.append(i - lit0 - 1)
+            out += row[lit0:i]
+    return bytes(out)
+
+
 def _packbits_decode(data: bytes, max_out: int) -> bytes:
     out = bytearray()
     i = 0
@@ -807,16 +886,24 @@ def write_geotiff(
             except ImportError as e:  # pragma: no cover
                 raise GeoTiffError("ZSTD write requires the zstandard module") from e
             comp_code = COMPRESSION_ZSTD
+        elif c == "lzw":
+            comp_code = COMPRESSION_LZW
+        elif c == "packbits":
+            comp_code = COMPRESSION_PACKBITS
         elif c not in ("none",):
             raise GeoTiffError(f"unsupported write compression {compress}")
 
-    def _compress(raw: bytes) -> bytes:
+    def _compress(raw: bytes, row_bytes: int | None = None) -> bytes:
         if comp_code == COMPRESSION_DEFLATE:
             return zlib.compress(raw, 6)
         if comp_code == COMPRESSION_ZSTD:
             import zstandard
 
             return zstandard.ZstdCompressor(level=9).compress(raw)
+        if comp_code == COMPRESSION_LZW:
+            return _lzw_encode(raw)
+        if comp_code == COMPRESSION_PACKBITS:
+            return _packbits_encode(raw, row_bytes)
         return raw
 
     # ---- image pyramid ----
@@ -839,13 +926,19 @@ def write_geotiff(
                     r0, c0 = ty * th, tx * tw
                     r1, c1 = min(r0 + th, height), min(c0 + tw, width)
                     block[: r1 - r0, : c1 - c0] = chunky[r0:r1, c0:c1]
-                    chunks.append(_compress(block.astype(dt.newbyteorder("<")).tobytes()))
+                    chunks.append(_compress(
+                        block.astype(dt.newbyteorder("<")).tobytes(),
+                        tw * count * dt.itemsize,
+                    ))
             return chunks, None
         target = max(1, (1 << 16) // max(1, width * count * dt.itemsize))
         rps = min(height, max(1, target))
+        row_bytes = width * count * dt.itemsize
         for r0 in range(0, height, rps):
             r1 = min(r0 + rps, height)
-            chunks.append(_compress(chunky[r0:r1].astype(dt.newbyteorder("<")).tobytes()))
+            chunks.append(_compress(
+                chunky[r0:r1].astype(dt.newbyteorder("<")).tobytes(), row_bytes
+            ))
         return chunks, rps
 
     off_typ = 16 if bigtiff else 4  # LONG8 vs LONG

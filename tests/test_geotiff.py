@@ -61,6 +61,10 @@ def test_windowed_read_matches_full():
     {},
     {"compress": "deflate"},
     {"tiled": True, "tile_size": 16, "compress": "deflate"},
+    {"compress": "lzw"},
+    {"tiled": True, "tile_size": 16, "compress": "lzw"},
+    {"compress": "packbits"},
+    {"tiled": True, "tile_size": 16, "compress": "packbits"},
 ])
 def test_write_read_roundtrip(tmp_path, rng, dtype, kw):
     if np.issubdtype(dtype, np.floating):
@@ -94,3 +98,31 @@ def test_window_transform():
     x, y = wt * (0, 0)
     x2, y2 = src.transform * (100, 200)
     assert (x, y) == (x2, y2)
+
+
+def test_lzw_packbits_codec_fuzz(rng):
+    """Raw encoder<->decoder round-trip across adversarial payloads: long
+    runs (table churn / run packing), random bytes (literal paths), and a
+    size sweep crossing the LZW code-width bumps and the 12-bit table
+    reset."""
+    from flac_raster_tpu.io.geotiff import (
+        _lzw_decode,
+        _lzw_encode,
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    payloads = [
+        b"",
+        b"\x00",
+        b"\xab" * 5000,
+        bytes(rng.integers(0, 256, 70000, dtype=np.uint8)),  # forces table reset
+        bytes(rng.integers(0, 4, 9001, dtype=np.uint8)),     # dense repeats
+        np.arange(300, dtype=np.uint8).tobytes() * 40,
+    ]
+    for size in (1, 7, 255, 256, 257, 511, 512, 1024, 4093, 4095):
+        payloads.append(bytes(rng.integers(0, 16, size, dtype=np.uint8)))
+    for raw in payloads:
+        assert _lzw_decode(_lzw_encode(raw), len(raw)) == raw
+        assert _packbits_decode(_packbits_encode(raw), len(raw)) == raw
+        assert _packbits_decode(_packbits_encode(raw, 64), len(raw)) == raw
