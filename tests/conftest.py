@@ -23,11 +23,33 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import pathlib
+import re
 
 import numpy as np
 import pytest
 
 REFERENCE_TEST_DATA = pathlib.Path("/root/reference/test_data")
+
+# Smoke profile: `pytest -m "not slow"` skips the compile-heavy tests listed
+# in slow_tests.txt (regenerate with tools/regen_slow_list.py).  Matching is
+# on the de-parametrized nodeid, so one line covers all parametrizations.
+_SLOW_LIST = pathlib.Path(__file__).parent / "slow_tests.txt"
+_SLOW_IDS = frozenset(
+    line.strip()
+    for line in _SLOW_LIST.read_text().splitlines()
+    if line.strip() and not line.startswith("#")
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "::" not in item.nodeid:
+            continue
+        path, rest = item.nodeid.split("::", 1)
+        fname = path.rsplit("/", 1)[-1]
+        base = re.sub(r"\[.*\]$", "", f"tests/{fname}::{rest}")
+        if base in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture
