@@ -203,15 +203,17 @@ def encode_flac_device(
             logger.debug("dispatch f%d..%d: %.3fs", c0, c1, time.perf_counter() - t0)
         return out
 
-    def drain(c0: int, c1: int, out: dict) -> None:
+    def start_drain(c0: int, c1: int, out: dict) -> tuple:
+        """Sync on the cheap per-frame outputs and KICK OFF the big word
+        pull as an async device->host copy; the tunnel transfer then
+        overlaps the previous chunk's CRC pass and the next chunk's device
+        compute instead of blocking the main thread."""
         tame_device_client_threads()  # client threads spawn lazily
         t0 = time.perf_counter() if debug else 0.0
         Fc = c1 - c0
         frame_bits = np.asarray(out["frame_bits"][:Fc])
-        t1 = time.perf_counter() if debug else 0.0
         # padded frames emit past the real frames' total bits; truncate there
         total_bits = int(frame_bits.sum())
-        n_bytes = (total_bits + 7) // 8
         used_words = (total_bits + 31) // 32
         # pull the used prefix in one bucketed slice; buckets are {1, 1.5} x
         # powers of two pages, so overfetch is <= 33% (was <= 100% with pure
@@ -222,12 +224,29 @@ def encode_flac_device(
         if p2 > 2 and used_pages <= (p2 * 3) // 4:
             p2 = (p2 * 3) // 4
         p2 = min(max(p2, 1), n_pages)
-        words = np.asarray(out["words"][: p2 * _PAGE_WORDS])
+        words_dev = out["words"][: p2 * _PAGE_WORDS]
+        try:
+            words_dev.copy_to_host_async()
+        except Exception:  # noqa: BLE001 -- a backend without the hint
+            pass           # still materializes in finish_drain
+        sub_dev = out["subframe_bits"][:Fc, :-1]
         if debug:
             logger.debug(
-                "drain f%d..%d: sync %.3fs, pull %.3fs (%.1f MB)",
-                c0, c1, t1 - t0, time.perf_counter() - t1, p2 * _PAGE_WORDS * 4 / 1e6,
+                "start_drain f%d..%d: sync %.3fs, async pull of %.1f MB",
+                c0, c1, time.perf_counter() - t0, p2 * _PAGE_WORDS * 4 / 1e6,
             )
+        return (c0, c1, frame_bits, words_dev, sub_dev)
+
+    def finish_drain(state: tuple) -> None:
+        c0, c1, frame_bits, words_dev, sub_dev = state
+        t0 = time.perf_counter() if debug else 0.0
+        words = np.asarray(words_dev)
+        if debug:
+            logger.debug(
+                "finish_drain f%d..%d: wait %.3fs", c0, c1,
+                time.perf_counter() - t0,
+            )
+        n_bytes = (int(frame_bits.sum()) + 7) // 8
         buf = np.frombuffer(
             words.astype(">u4", copy=False).tobytes(), np.uint8
         )[:n_bytes].copy()
@@ -236,15 +255,26 @@ def encode_flac_device(
         _patch_crcs(buf, frame_bits.astype(np.int64), hdr_bits.astype(np.int64))
         chunks.append(buf.tobytes())
         sizes.append((frame_bits >> 3).astype(np.int64))
-        subs.append(np.asarray(out["subframe_bits"][:Fc, :-1]).astype(np.int64))
+        subs.append(np.asarray(sub_dev).astype(np.int64))
 
     _INFLIGHT = 3
+    started: tuple | None = None
+
+    def advance_drain() -> None:
+        nonlocal started
+        nxt = start_drain(*inflight.pop(0))
+        if started is not None:
+            finish_drain(started)
+        started = nxt
+
     for c0, c1 in bounds:
         inflight.append((c0, c1, dispatch(c0, c1)))
         if len(inflight) >= _INFLIGHT:
-            drain(*inflight.pop(0))
+            advance_drain()
     while inflight:
-        drain(*inflight.pop(0))
+        advance_drain()
+    if started is not None:
+        finish_drain(started)
 
     if n_full * blocksize < n:
         tail = smp[n_full * blocksize :].astype(np.int64) - zero_point
