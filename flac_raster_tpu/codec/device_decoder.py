@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 
 import numpy as np
 
@@ -41,22 +42,29 @@ def _bs_tail_bits(blocksize: int) -> int:
     return _blocksize_header(blocksize)[2]
 
 
+_WROW = 32  # words per gathered row (128 bytes)
+
+
 def _gather_windows_jit(maxW: int):
     """Jitted (B, maxW)-word window gather from the device-resident body.
 
-    ``body_w`` is the whole compressed stream as big-endian uint32 words;
-    ``woffs`` is each frame's starting WORD index (byte_offset >> 2).  One
-    word-level gather is 4x fewer gathered elements than the previous
-    byte-level version (measured 140 ms -> ~35 ms per 256-frame chunk).
+    ``body_w`` is the whole compressed stream as big-endian uint32 words
+    (length a multiple of ``_WROW``); ``row0`` is each frame's starting ROW
+    index (byte_offset >> 7).  Fetching aligned 32-word ROWS (XLA gather
+    with slice_sizes=(1,32)) instead of per-word elements cuts the gather's
+    row count 32x -- the frame's sub-row byte offset moves into
+    ``bit_base``.  (History: byte-level 140 ms -> word-level ~35 ms ->
+    row-level, per 256-frame chunk.)
     """
     import jax
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=())
-    def gather(body_w, woffs):
-        iota = jnp.arange(maxW, dtype=jnp.int32)
-        idx = jnp.clip(woffs[:, None] + iota[None, :], 0, body_w.shape[0] - 1)
-        return jnp.take(body_w, idx, axis=0)
+    def gather(body_w, row0):
+        rows = body_w.reshape(-1, _WROW)
+        iota = jnp.arange(maxW // _WROW, dtype=jnp.int32)
+        idx = jnp.clip(row0[:, None] + iota[None, :], 0, rows.shape[0] - 1)
+        return jnp.take(rows, idx, axis=0).reshape(-1, maxW)
 
     return gather
 
@@ -215,23 +223,24 @@ def decode_flac_device(
         max_size = int(sizes[rf0:rf1_full].max())
     else:
         max_size = 16
-    # window words: frame bytes + the kernel's _TW-word gather lookahead
-    from ..ops.device_decode import _TW
+    # window words: up to a row of leading slack (frames start mid-row) +
+    # frame bytes + the kernel's row-window gather lookahead
+    from ..ops.device_decode import _WIN_SLACK_WORDS
 
-    maxW = (max_size + 3) // 4 + _TW + 1
+    maxW = _WROW + (max_size + 3) // 4 + _WIN_SLACK_WORDS
 
     # pad the body upload to a {1, 1.5} x power-of-two bucket (bounds
     # compile count at O(log) shapes while capping upload overfetch at
-    # ~33% -- the upload rides the ~20 MB/s tunnel here); +64 bytes of
-    # zeros so the kernel's _TW-word window reads past the last frame land
-    # on zeros, not clip-duplicated stream bytes
-    byte_lo = int(offsets[rf0]) & ~3  # word-aligned re-base
+    # ~33% -- the upload rides the ~20 MB/s tunnel here); zero slack so the
+    # kernel's row-window reads past the last frame land on zeros, not
+    # clip-duplicated stream bytes
+    byte_lo = int(offsets[rf0]) & ~(4 * _WROW - 1)  # row-aligned re-base
     byte_hi = int(offsets[rf1])
     arr_eff = arr[byte_lo:byte_hi]
-    need = len(arr_eff) + 64
-    body_len = 1 << max(6, (need - 1).bit_length())
-    if body_len > 128 and need <= (body_len * 3) // 4:
-        body_len = (body_len * 3) // 4
+    need = len(arr_eff) + 4 * _WIN_SLACK_WORDS
+    body_len = 1 << max(8, (need - 1).bit_length())
+    if need <= (body_len * 3) // 4:
+        body_len = (body_len * 3) // 4  # stays a multiple of 4*_WROW (>= 192)
     body = np.zeros(body_len, np.uint8)
     body[: len(arr_eff)] = arr_eff
     global _BODY_WORDS
@@ -240,7 +249,8 @@ def decode_flac_device(
     body_w = _BODY_WORDS(jnp.asarray(body))
 
     # bucket the window width so compiled shapes stay O(log) across files
-    maxW = 1 << max(4, (maxW - 1).bit_length())
+    # (power-of-two >= _WROW keeps it row-divisible)
+    maxW = 1 << max(5, (maxW - 1).bit_length())
     gather_windows = _GATHER_CACHE.setdefault(maxW, _gather_windows_jit(maxW))
 
     # per-frame subframe start offsets (relative to the frame start): col 0
@@ -265,14 +275,20 @@ def decode_flac_device(
         Bp = 1 << max(0, (B - 1)).bit_length()
         offs = np.zeros(Bp, np.int64)
         offs[:B] = offsets[f0:f1] - byte_lo
-        bit_base = ((offs & 3) * 8).astype(np.int32)
+        bit_base = ((offs & (4 * _WROW - 1)) * 8).astype(np.int32)
         sf = np.zeros((Bp, C), np.int32)
         sf[:B] = sf_rel[f0 - rf0 : f1 - rf0]
         sf[B:] = sf_rel[f0 - rf0]
         sf += bit_base[:, None]
-        windows = gather_windows(body_w, jnp.asarray((offs >> 2).astype(np.int32)))
+        windows = gather_windows(
+            body_w, jnp.asarray((offs >> (2 + 5)).astype(np.int32))
+        )
+        # FRTPU_DECODE_ROW=0/1 forces the rice-scan gather mode (hardware
+        # A/B, row-mode CI coverage); unset = backend-appropriate default
+        rg_env = os.environ.get("FRTPU_DECODE_ROW")
         samples, err = decode_frames_device(
-            windows, jnp.asarray(bit_base), jnp.asarray(sf), C=C, bps=bps, N=N
+            windows, jnp.asarray(bit_base), jnp.asarray(sf), C=C, bps=bps, N=N,
+            row_gather=None if rg_env is None else rg_env == "1",
         )
         errs.append(err[:B])
         parts.append(samples[:B].reshape(B * N, C))

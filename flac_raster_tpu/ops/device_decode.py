@@ -57,12 +57,28 @@ __all__ = ["decode_frames_device", "DEVICE_DECODE_MAX_ORDER"]
 
 DEVICE_DECODE_MAX_ORDER = 12  # matches MAX_ORDER_SLOTS
 
-_TW = 13           # words gathered per Rice scan step (416 bits)
+_TW = 13           # words gathered per Rice scan step (416 bits), element mode
 # codes decoded per window: floor((32*_TW - 31) / (5 + 32)) with the TOK32
 # cap -- each code consumes at most 5 partition-parameter bits + 32 code
 # bits, and up to 31 bits of the gathered window are pre-alignment slack
 _GROUP = (32 * _TW - 31) // 37
 _IIR_UNROLL = 8    # samples restored per scan step
+
+# Row-sliced gather mode (default): each scan step fetches _NROW aligned
+# _RW-word ROWS per lane (XLA gather with slice_sizes=(1,_RW) -- priced per
+# row, not per element, which is the scarce resource) and realigns them in
+# registers with a select chain.  A 2x32-word window leaves 33 usable words
+# after worst-case alignment slack -> 27 codes per step vs 10, so gather
+# rows drop ~8.7x (2/27 vs 13/10 per code) and scan depth 2.7x.
+_RW = 32
+_NROW = 2
+_ROW_WORDS = _NROW * _RW                       # 64
+_ALIGN_WORDS = _ROW_WORDS - (_RW - 1)          # 33 usable aligned words
+_GROUP_ROW = (_ALIGN_WORDS * 32 - 31) // 37    # 27
+# device_decoder must provision at least this much window slack past the
+# largest frame (row mode reads _ROW_WORDS words from the row containing
+# the current position)
+_WIN_SLACK_WORDS = _ROW_WORDS + 1
 
 _FIXED_COEFS = np.zeros((5, DEVICE_DECODE_MAX_ORDER), np.int32)
 _FIXED_COEFS[1, :1] = [1]
@@ -135,7 +151,7 @@ def _sext(v, nbits):
     return ((vv ^ sign).astype(jnp.int32)) - sign.astype(jnp.int32)
 
 
-def _parse_subframe(words, pos, eb, err, *, N):
+def _parse_subframe(words, pos, eb, err, *, N, row_gather=True):
     """Parse + decode one subframe across all lanes.
 
     Args:
@@ -216,36 +232,98 @@ def _parse_subframe(words, pos, eb, err, *, N):
     rstart = rpos + 6
     n_codes = N - order
 
-    # Grouped chain scan: ONE (B, _TW)-word gather serves _GROUP consecutive
-    # codes.  The TOK32 planner cap (device_codec.MAX_RICE_TOKEN_BITS = 32)
-    # bounds each code at 5 param + 32 code = 37 bits, so _GROUP codes are
-    # guaranteed inside the aligned 385-bit window; the window is then
-    # shifted left in registers between codes (pure VPU selects/shifts --
-    # per-lane gathers are the scarce resource on TPU, ~40M elem/s).
-    # Streams violating the cap set the error flag (host-decoder fallback).
+    # Grouped chain scan: ONE bounded-window fetch serves a guaranteed group
+    # of consecutive codes.  The TOK32 planner cap
+    # (device_codec.MAX_RICE_TOKEN_BITS = 32) bounds each code at 5 param +
+    # 32 code = 37 bits, so the group is guaranteed inside the aligned
+    # window; the window is then shifted left in registers between codes
+    # (pure VPU selects/shifts).  Streams violating the cap set the error
+    # flag (host-decoder fallback).
+    #
+    # Window fetch, two forms (static choice):
+    #   * row mode (default): _NROW aligned _RW-word rows per lane via a
+    #     flat row take -- XLA prices this per ROW (slice_sizes=(1,_RW)),
+    #     the scarce per-lane-gather budget drops ~8.7x per code, and the
+    #     wider window serves 27 codes per step instead of 10;
+    #   * element mode: (B, _TW) take_along_axis, kept for A/B profiling
+    #     (tools/profile_decode.py) and for word counts not divisible by
+    #     _RW.
     W = words.shape[1]
+    row_mode = row_gather and (W % _RW == 0) and (W // _RW >= _NROW)
+    group = _GROUP_ROW if row_mode else _GROUP
     iota_tw = jnp.arange(_TW, dtype=jnp.int32)
     zero_w = jnp.zeros((B,), jnp.uint32)
-    n_steps = -(-N // _GROUP)
+    n_steps = -(-N // group)
+    if row_mode:
+        m_rows = words.reshape(B * (W // _RW), _RW)
+        lane_rows = jnp.arange(B, dtype=jnp.int32) * (W // _RW)
+        iota_nrow = jnp.arange(_NROW, dtype=jnp.int32)
+
+    def _word_shl(arr, nwords):
+        """Shift a (B, K) word array left by ``nwords`` columns, zero-fill."""
+        z = jnp.zeros((B, nwords), jnp.uint32)
+        return jnp.concatenate([arr[:, nwords:], z], axis=1)
+
+    def _arr_shl_bits(arr, n_bits):
+        """Per-lane left shift of a (B, K) word window by n_bits (< 64)."""
+        a1 = _word_shl(arr, 1)
+        nw1 = (n_bits >= 32)[:, None]
+        base = jnp.where(nw1, a1, arr)
+        base_n = jnp.where(nw1, _word_shl(a1, 1), a1)
+        nb = (n_bits & 31).astype(jnp.uint32)[:, None]
+        return (base << nb) | (
+            (base_n >> jnp.uint32(1)) >> (jnp.uint32(31) - nb)
+        )
 
     def rice_step(carry, j0):
         cpos, k, cerr = carry
-        wi = jnp.clip(cpos >> 5, 0, W - _TW)
-        win = jnp.take_along_axis(words, wi[:, None] + iota_tw[None, :], axis=1)
-        # pre-align so window bit 0 == cpos
-        sh = (cpos & 31).astype(jnp.uint32)
-        t31 = jnp.uint32(31) - sh
-        w = [
-            (win[:, t] << sh) | ((win[:, t + 1] >> jnp.uint32(1)) >> t31)
-            for t in range(_TW - 1)
-        ]
+        if row_mode:
+            wi = cpos >> 5
+            r0 = jnp.clip(wi // _RW, 0, W // _RW - _NROW)
+            rows = jnp.take(
+                m_rows,
+                (r0[:, None] + iota_nrow[None, :]) + lane_rows[:, None],
+                axis=0,
+            )                                   # (B, _NROW, _RW)
+            wa = rows.reshape(B, _ROW_WORDS)
+            # realign so column 0 holds the word containing cpos: log2(_RW)
+            # staged whole-array shifts (dense VPU work; a per-lane gather
+            # here would defeat the row fetch) ...
+            woff = wi - r0 * _RW                # 0 .. _RW-1
+            s = _RW >> 1
+            while s:
+                wa = jnp.where(
+                    ((woff & s) != 0)[:, None], _word_shl(wa, s), wa
+                )
+                s >>= 1
+            # ... then the 1-bit-granularity alignment to cpos itself
+            sh = (cpos & 31).astype(jnp.uint32)[:, None]
+            wa = (wa << sh) | (
+                (_word_shl(wa, 1) >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
+            )
+            wa = wa[:, : _ALIGN_WORDS + 1]
+        else:
+            wi = jnp.clip(cpos >> 5, 0, W - _TW)
+            win = jnp.take_along_axis(
+                words, wi[:, None] + iota_tw[None, :], axis=1
+            )
+            # pre-align so window bit 0 == cpos
+            sh = (cpos & 31).astype(jnp.uint32)
+            t31 = jnp.uint32(31) - sh
+            w = [
+                (win[:, t] << sh) | ((win[:, t + 1] >> jnp.uint32(1)) >> t31)
+                for t in range(_TW - 1)
+            ]
         outs = []
-        for g in range(_GROUP):
+        for g in range(group):
             j = j0 + g
             active = is_rice & (j < n_codes)
             boundary = active & ((j == 0) | (((order + j) & psize_mask) == 0))
             pb = jnp.where(boundary, pbits, 0)
-            a, b, c = w[0], w[1], w[2]
+            if row_mode:
+                a, b, c = wa[:, 0], wa[:, 1], wa[:, 2]
+            else:
+                a, b, c = w[0], w[1], w[2]
             k_new = _take_bits(a, pbits).astype(jnp.int32)
             cerr = cerr | (boundary & (k_new == escape))
             k = jnp.where(boundary, k_new, k)
@@ -272,29 +350,33 @@ def _parse_subframe(words, pos, eb, err, *, N):
             outs.append(jnp.where(active, z, jnp.uint32(0)))
             n_bits = jnp.where(active, pb + q + 1 + k, 0)
             cpos = cpos + n_bits
-            if g < _GROUP - 1:
-                # shift the register window left by n_bits (<= 37: 1 word + 5)
-                nw1 = n_bits >= 32
-                nb = (n_bits & 31).astype(jnp.uint32)
-                tb = jnp.uint32(31) - nb
-                L = len(w)
+            if g < group - 1:
+                # shift the window left by n_bits (<= 37: 1 word + 5 bits)
+                if row_mode:
+                    wa = _arr_shl_bits(wa, n_bits)
+                else:
+                    nw1 = n_bits >= 32
+                    nb = (n_bits & 31).astype(jnp.uint32)
+                    tb = jnp.uint32(31) - nb
+                    L = len(w)
 
-                def gw(i, w=w, L=L):
-                    return w[i] if i < L else zero_w
+                    def gw(i, w=w, L=L):
+                        return w[i] if i < L else zero_w
 
-                w = [
-                    (jnp.where(nw1, gw(t + 1), gw(t)) << nb)
-                    | ((jnp.where(nw1, gw(t + 2), gw(t + 1)) >> jnp.uint32(1)) >> tb)
-                    for t in range(L)
-                ]
+                    w = [
+                        (jnp.where(nw1, gw(t + 1), gw(t)) << nb)
+                        | ((jnp.where(nw1, gw(t + 2), gw(t + 1))
+                            >> jnp.uint32(1)) >> tb)
+                        for t in range(L)
+                    ]
         return (cpos, k, cerr), jnp.stack(outs)
 
     (rend, _, err), zs = jax.lax.scan(
         rice_step,
         (rstart, jnp.zeros(B, jnp.int32), err),
-        jnp.arange(n_steps, dtype=jnp.int32) * _GROUP,
+        jnp.arange(n_steps, dtype=jnp.int32) * group,
     )
-    zs = zs.reshape(n_steps * _GROUP, B)[:N].T  # (B, N): code j per lane
+    zs = zs.reshape(n_steps * group, B)[:N].T  # (B, N): code j per lane
 
     # place code j at sample order + j: order is 0..M, so the per-lane shift
     # becomes an (M+1)-way select over statically shifted copies -- all
@@ -352,8 +434,11 @@ def _parse_subframe(words, pos, eb, err, *, N):
     return sig, end, err
 
 
-@functools.partial(jax.jit, static_argnames=("C", "bps", "N"))
-def decode_frames_device(windows, bit_base, sf_start, *, C: int, bps: int, N: int):
+@functools.partial(jax.jit, static_argnames=("C", "bps", "N", "row_gather"))
+def decode_frames_device(
+    windows, bit_base, sf_start, *, C: int, bps: int, N: int,
+    row_gather: "bool | None" = None,
+):
     """Decode a batch of full FLAC frames on device.
 
     All C subframes of all B frames parse in ONE batched pass (C*B lanes):
@@ -363,7 +448,8 @@ def decode_frames_device(windows, bit_base, sf_start, *, C: int, bps: int, N: in
     Args:
         windows: (B, W) uint32 -- each row one frame's bytes as big-endian
             words, starting at the word CONTAINING the frame's first byte
-            (W must carry >= _TW words of slack past the largest frame),
+            (W must carry >= _WIN_SLACK_WORDS of slack past the largest
+            frame; W divisible by _RW selects the fast row-gather mode),
             OR (B, maxB) uint8 rows (converted in-graph).
         bit_base: (B,) int32 -- window-local bit offset of the frame start
             ((byte_offset % 4) * 8 for word-gathered windows, 0 for
@@ -389,6 +475,11 @@ def decode_frames_device(windows, bit_base, sf_start, *, C: int, bps: int, N: in
     else:
         words = windows
     B = words.shape[0]
+    if row_gather is None:
+        # row mode trades per-lane gathers (the TPU-scarce resource) for
+        # dense realign/shift work -- a net win on TPU, a net loss where
+        # gathers are cheap (the CPU test mesh)
+        row_gather = jax.default_backend() != "cpu"
 
     hdr32 = _read32(words, bit_base)
     chan_code = ((hdr32 >> jnp.uint32(4)) & jnp.uint32(0xF)).astype(jnp.int32)
@@ -404,7 +495,7 @@ def decode_frames_device(windows, bit_base, sf_start, *, C: int, bps: int, N: in
 
     if C == 1:
         sig, end, err = _parse_subframe(
-            words, sf_start[:, 0], ch_bps[0], err, N=N
+            words, sf_start[:, 0], ch_bps[0], err, N=N, row_gather=row_gather
         )
         return sig[:, :, None], err
 
@@ -412,7 +503,7 @@ def decode_frames_device(windows, bit_base, sf_start, *, C: int, bps: int, N: in
     posC = sf_start.T.reshape(C * B)
     ebC = ch_bps.reshape(C * B)
     sigC, endC, errC = _parse_subframe(
-        wordsC, posC, ebC, jnp.tile(err, C), N=N
+        wordsC, posC, ebC, jnp.tile(err, C), N=N, row_gather=row_gather
     )
     sigs = sigC.reshape(C, B, N)
     err = errC.reshape(C, B).any(axis=0)

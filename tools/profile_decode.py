@@ -96,7 +96,7 @@ def main() -> int:
         32 + drv._utf8_len_bytes(fi) * 8 + drv._bs_tail_bits(N) + 8
     ).astype(np.int32)
 
-    body_len = 1 << max(6, (len(arr) + 63).bit_length())
+    body_len = 1 << max(8, (len(arr) + 4 * dd._WIN_SLACK_WORDS - 1).bit_length())
     body = np.zeros(body_len, np.uint8)
     body[: len(arr)] = arr
 
@@ -108,33 +108,51 @@ def main() -> int:
 
     B = min(chunk, full_frames)
     maxW = 1 << max(
-        4, ((int(sizes[:full_frames].max()) + 3) // 4 + dd._TW).bit_length()
+        5,
+        (
+            drv._WROW
+            + (int(sizes[:full_frames].max()) + 3) // 4
+            + dd._WIN_SLACK_WORDS
+            - 1
+        ).bit_length(),
     )
     gather = drv._GATHER_CACHE.setdefault(maxW, drv._gather_windows_jit(maxW))
     offs = offsets[:B]
-    woffs = jnp.asarray((offs >> 2).astype(np.int32))
-    bb_np = ((offs & 3) * 8).astype(np.int32)
+    row0 = jnp.asarray((offs >> 7).astype(np.int32))
+    bb_np = ((offs & (4 * drv._WROW - 1)) * 8).astype(np.int32)
     bb = jnp.asarray(bb_np)
     sf_rel = np.zeros((B, C), np.int64)
     sf_rel[:, 0] = hdr_bits_all[:B]
     if C > 1:
         sf_rel[:, 1:] = sf_rel[:, :1] + np.cumsum(layout.sub_bits[:B], axis=1)
     sf = jnp.asarray((sf_rel + bb_np[:, None]).astype(np.int32))
-    windows = gather(body_w, woffs)
+    windows = gather(body_w, row0)
     sync(windows)
     n_chunks = (full_frames + B - 1) // B
-    dt = timeit(lambda: sync(gather(body_w, woffs)))
+    dt = timeit(lambda: sync(gather(body_w, row0)))
     print(f"gather windows (B={B}, {maxW} words): {dt*1e3:8.1f} ms/chunk x{n_chunks}")
 
-    # full frame decode kernel
-    out, err = dd.decode_frames_device(windows, bb, sf, C=C, bps=16, N=N)
-    sync(out)
-    dt = timeit(
-        lambda: sync(dd.decode_frames_device(windows, bb, sf, C=C, bps=16, N=N)[0])
-    )
+    # full frame decode kernel: row-gather rice scan vs element-gather A/B
     chunk_mb = B * N * C * 2 / 1e6
-    print(f"decode_frames_device       : {dt*1e3:8.1f} ms/chunk  "
-          f"{chunk_mb/dt:7.1f} MB/s raw ({chunk_mb:.1f} MB/chunk)")
+    out = None
+    for mode in (True, False):
+        o, err = dd.decode_frames_device(
+            windows, bb, sf, C=C, bps=16, N=N, row_gather=mode
+        )
+        if out is None:
+            out = np.asarray(o)
+        else:
+            assert np.array_equal(np.asarray(o), out), "mode mismatch"
+        dt = timeit(
+            lambda: sync(
+                dd.decode_frames_device(
+                    windows, bb, sf, C=C, bps=16, N=N, row_gather=mode
+                )[0]
+            )
+        )
+        label = "row " if mode else "elem"
+        print(f"decode_frames_device ({label}): {dt*1e3:8.1f} ms/chunk  "
+              f"{chunk_mb/dt:7.1f} MB/s raw ({chunk_mb:.1f} MB/chunk)")
     return 0
 
 

@@ -110,6 +110,37 @@ def main() -> int:
     dt = timeit(lambda: sync(ds_scan(mat, idx4)))
     print(f"scan of flat (B,4) takes  : {dt*1e3:8.1f} ms  {B*(K//4)/dt/1e6:7.1f} M idx/s")
 
+    # Row-sliced gathers: reshape the per-lane buffer into aligned R-word
+    # rows and gather WHOLE ROWS (XLA gather with slice_sizes=(1,R)).  If
+    # the gather cost is per-ROW rather than per-element, a rice-scan window
+    # read becomes ~3 row fetches instead of 13 element fetches -- and a
+    # wider aligned window serves more codes per scan step on top.
+    import functools
+
+    for RW in (8, 16, 32):
+        nrow = 3 if RW == 8 else 2  # rows covering a 13-word window + align
+        # same TOTAL gathered elements as the element-variants (B*K): if the
+        # cost is per-row, wall time shrinks ~RW-fold
+        idx_r = idx[:, : K // (nrow * RW)]
+
+        @functools.partial(jax.jit, static_argnames=())
+        def row_take(m, i, RW=RW, nrow=nrow):
+            m8 = m.reshape(B * (W // RW), RW)
+            lane = (jnp.arange(B, dtype=jnp.int32) * (W // RW))[:, None, None]
+            r0 = (i // RW)[:, :, None] + jnp.arange(nrow, dtype=jnp.int32)
+            r0 = jnp.minimum(r0, W // RW - 1)
+            return jnp.take(m8, (r0 + lane).reshape(-1), axis=0)
+
+        nwin = idx_r.shape[1]
+        sync(row_take(mat, idx_r))
+        dt = timeit(lambda: sync(row_take(mat, idx_r)))
+        nr = B * nwin * nrow
+        print(
+            f"row take {RW:3d}w x{nrow} rows  : {dt*1e3:8.1f} ms  "
+            f"{nr/dt/1e6:7.1f} M rows/s  {nr*RW/dt/1e6:8.1f} M elem/s  "
+            f"({nwin} windows/lane)"
+        )
+
     # Pallas DMA window gather: one frame window per grid step
     import functools
     from jax.experimental import pallas as pl
