@@ -101,6 +101,47 @@ def main() -> int:
         plan_and_emit(xd, jnp.int32(0), n_words=n_words, **static_kw)["words"]
     ))
     print(f"plan_and_emit (fused)  : {dt*1e3:8.1f} ms  {raw_mb/dt:7.1f} MB/s raw")
+
+    # ---- plan sub-stages (separately compiled; sums can exceed the fused
+    # plan time, the point is the RATIO between components) -----------------
+    import functools
+
+    from flac_raster_tpu.ops import device_codec as dc
+
+    def t_named(name, fn, *args):
+        f = jax.jit(fn)
+        sync(f(*args))
+        dt = timeit(lambda: sync(f(*args)))
+        print(f"  {name:<21}: {dt*1e3:8.1f} ms")
+
+    t_named("plan fixed-only", functools.partial(
+        lambda a: plan_blocks(
+            a, blocksize=blocksize, bps=bps, max_lpc_order=cfg.max_lpc_order,
+            max_partition_order=min(cfg.max_partition_order, 6),
+            use_lpc=False, apodizations=cfg.apodizations,
+        )["subframe_bits"]), xi)
+    idx = np.arange(blocksize, dtype=np.int32)
+    t_named("rice_search x1 (o=2)", lambda a: dc._rice_search(
+        dc._zigzag_u32(a), 2, blocksize, min(cfg.max_partition_order, 6),
+        jnp.asarray(idx))[3], xi)
+    t_named("fixed_residuals", lambda a: dc._fixed_residuals(a)[4], xi)
+
+    w = jnp.asarray(dc.apodization_window(cfg.apodizations[0], blocksize))
+
+    def autocorr(a):
+        xf = a.astype(jnp.float32) * w[None, :]
+        rl = [jnp.sum(xf * xf, axis=1)]
+        for lag in range(1, cfg.max_lpc_order + 1):
+            rl.append(jnp.sum(xf[:, lag:] * xf[:, : blocksize - lag], axis=1))
+        return jnp.stack(rl, axis=1)
+
+    rr = jax.jit(autocorr)(xi)
+    sync(rr)
+    t_named("autocorr+window", autocorr, xi)
+    t_named("levinson_all", lambda r: dc._levinson_all(r)[1], rr)
+    qc = jnp.ones((chunk, cfg.max_lpc_order), jnp.int32)
+    t_named("lpc_residual (M-tap)", lambda a: dc._lpc_residual(
+        a, qc, jnp.full((chunk,), 10, jnp.int32), cfg.max_lpc_order), xi)
     return 0
 
 
