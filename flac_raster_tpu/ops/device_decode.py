@@ -381,10 +381,15 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True):
     # place code j at sample order + j: order is 0..M, so the per-lane shift
     # becomes an (M+1)-way select over statically shifted copies -- all
     # dense VPU work (a take_along_axis here ran at ~10M elem/s on v5e)
-    zsh = jnp.zeros_like(zs)
-    for o in range(M + 1):
-        shifted = jnp.pad(zs, ((0, 0), (o, 0)))[:, :N] if o else zs
-        zsh = jnp.where(order[:, None] == o, shifted, zsh)
+    # log-doubling on the order's bits: 4 conditional whole-array shifts
+    # instead of an (M+1)-way select of shifted copies (3x less traffic;
+    # same per-lane total shift, exact)
+    zsh = zs
+    bit = 1 << (M.bit_length() - 1)
+    while bit:
+        shifted = jnp.pad(zsh, ((0, 0), (bit, 0)))[:, :N]
+        zsh = jnp.where((order[:, None] & bit) != 0, shifted, zsh)
+        bit >>= 1
     res = ((zsh >> jnp.uint32(1)).astype(jnp.int32)) ^ -(
         (zsh & jnp.uint32(1)).astype(jnp.int32)
     )

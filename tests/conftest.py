@@ -52,6 +52,20 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    XLA:CPU segfaults (reproducibly, in backend_compile_and_load) when one
+    big fused compile runs late in a process already holding the whole
+    suite's accumulated executables; every subset of the suite passes.
+    Modules rarely share exact compile keys, so the per-module recompile
+    cost is small, and no single compile ever sees the full accumulation.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
