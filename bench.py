@@ -192,6 +192,26 @@ def stage_breakdown(samples: np.ndarray) -> dict:
 
 def main() -> None:
     _start_heartbeat()
+    # Pre-headline deadline: if the backend is unreachable (a dead relay
+    # hangs jax init / the first compile forever), still land a parseable
+    # line instead of dying mute on the driver's timeout (round-2 lesson).
+    init_budget = float(os.environ.get("FRTPU_BENCH_INIT_BUDGET_S", 2400))
+    headline_done = threading.Event()
+
+    def init_watchdog() -> None:
+        if headline_done.wait(init_budget):
+            return
+        print(json.dumps({
+            "metric": "encode_throughput_uint16_level5",
+            "value": 0.0,
+            "unit": "MB/s",
+            "vs_baseline": 0.0,
+            "error": f"no headline within {init_budget:.0f}s; "
+                     f"stuck in: {_STAGE[0]}",
+        }), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=init_watchdog, daemon=True).start()
     _note("importing jax")
     import jax
 
@@ -245,6 +265,7 @@ def main() -> None:
         "vs_baseline": round(mbps / BASELINE_MBPS, 3),
     }
     # --- the number lands NOW, before anything that could stall ---
+    headline_done.set()
     print(json.dumps(headline), flush=True)
     _note(f"headline printed: {headline['value']} MB/s; extras budget {BUDGET_S:.0f}s")
 
