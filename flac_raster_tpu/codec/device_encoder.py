@@ -27,6 +27,10 @@ logger = logging.getLogger("flac_raster_tpu.device_encoder")
 
 import jax.numpy as jnp
 
+import functools
+
+import jax
+
 from ..models.flac_format import (
     LAYOUT_FLAG_TOK32,
     StreamInfo,
@@ -41,6 +45,22 @@ from ..ops.device_codec import MAX_DEVICE_BPS
 __all__ = ["encode_flac_device"]
 
 _PAGE_WORDS = 1 << 18  # 1 MB pages for device->host pulls
+
+
+@functools.partial(jax.jit, static_argnames=("f_pad", "N", "C"))
+def _rows_to_fcn(x_rows, *, f_pad: int, N: int, C: int):
+    """(rows, C) sample rows -> zero-padded (f_pad, C, N) frame tensor.
+
+    Runs ON DEVICE so the host never materializes the transposed copy --
+    the old host-side ascontiguousarray(transpose) walked the whole raster
+    once on this environment's single slow CPU core, and the per-chunk pad
+    concats copied again.  Upload stays the raw contiguous row slice.
+    """
+    rows = x_rows.shape[0]
+    x = jnp.zeros((f_pad * N, C), x_rows.dtype)
+    x = jax.lax.dynamic_update_slice(x, x_rows, (0, 0)) if rows != f_pad * N \
+        else x_rows
+    return x.reshape(f_pad, N, C).transpose(0, 2, 1)
 
 
 def _patch_crcs(buf: np.ndarray, frame_bits: np.ndarray, hdr_bits: np.ndarray) -> None:
@@ -146,8 +166,7 @@ def encode_flac_device(
     bps_code = _BPS_CODES[bits_per_sample]
     bs_code, bs_tail_val, bs_tail_bits = _blocksize_header(blocksize)
 
-    full = smp[: n_full * blocksize].reshape(n_full, blocksize, channels)
-    full = np.ascontiguousarray(full.transpose(0, 2, 1))  # (F,C,N) int32
+    rows = smp[: n_full * blocksize]  # (F*N, C) contiguous view, any int dtype
 
     static_kw = dict(
         blocksize=blocksize,
@@ -184,19 +203,20 @@ def encode_flac_device(
 
     def dispatch(c0: int, c1: int) -> dict:
         t0 = time.perf_counter() if debug else 0.0
-        xc = full[c0:c1]
         Fc = c1 - c0
         f_pad = min(1 << max(0, (Fc - 1)).bit_length(), plan_chunk_frames)
-        if f_pad != Fc:
-            xc = np.concatenate(
-                [xc, np.zeros((f_pad - Fc, channels, blocksize), np.int32)]
-            )
+        # contiguous row slice uploads copy-free; pad + (F,N,C)->(F,C,N)
+        # relayout happen in-graph (_rows_to_fcn)
+        xr = rows[c0 * blocksize : c1 * blocksize]
+        xc = _rows_to_fcn(
+            jnp.asarray(xr), f_pad=f_pad, N=blocksize, C=channels
+        )
         n_words = worst_case_words(
             f_pad, channels, blocksize, bits_per_sample + (1 if use_ms else 0)
         )
         n_words = ((n_words + _PAGE_WORDS - 1) // _PAGE_WORDS) * _PAGE_WORDS
         out = plan_and_emit(
-            jnp.asarray(xc), jnp.int32(c0), n_words=n_words,
+            xc, jnp.int32(c0), n_words=n_words,
             zero_point=zero_point, **static_kw
         )
         if debug:
