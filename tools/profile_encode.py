@@ -78,6 +78,13 @@ def main() -> int:
     xd = jnp.asarray(full)
     sync(xd)
 
+    # raw chunk upload rate (the r01 e2e accounting leaves ~3.5 s unexplained
+    # at 134 MB -- if this row shows ~40 MB/s, upload is half the wall and
+    # upload/readback overlap is the next e2e lever)
+    up = np.ascontiguousarray(x.reshape(chunk, 1, blocksize))
+    dt = timeit(lambda: sync(jnp.asarray(up) + jnp.uint16(0)))
+    print(f"chunk upload ({raw_mb:.0f} MB)   : {dt*1e3:8.1f} ms  {raw_mb/dt:7.1f} MB/s")
+
     # plan-only
     xi = (xd.astype(jnp.int32) - 32768).reshape(chunk, blocksize)
     plan = plan_blocks(
