@@ -62,7 +62,11 @@ _TW = 13           # words gathered per Rice scan step (416 bits), element mode
 # cap -- each code consumes at most 5 partition-parameter bits + 32 code
 # bits, and up to 31 bits of the gathered window are pre-alignment slack
 _GROUP = (32 * _TW - 31) // 37
-_IIR_UNROLL = 8    # samples restored per scan step
+# samples restored per IIR scan step: the predictor-restore scan is
+# step-overhead-bound (~29 ms for an empty 512-step scan on v5e), so a
+# wider unroll halves steps at the cost of register pressure -- sweep on
+# hardware via the env knob (trace-time constant; exact same output values)
+_IIR_UNROLL = int(__import__("os").environ.get("FRTPU_IIR_UNROLL", "8"))
 
 # Row-sliced gather mode (default): each scan step fetches _NROW aligned
 # _RW-word ROWS per lane (XLA gather with slice_sizes=(1,_RW) -- priced per
