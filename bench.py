@@ -270,12 +270,17 @@ def main() -> None:
     _note(f"headline printed: {headline['value']} MB/s; extras budget {BUDGET_S:.0f}s")
 
     extras: dict = {}
-    emitted = threading.Event()
+    emit_lock = threading.Lock()
+    emitted = [False]
 
     def emit_final() -> None:
-        if emitted.is_set():
-            return
-        emitted.set()
+        # atomic test-and-set: the budget watchdog and the main thread can
+        # both reach here when extras finish right at the deadline, and two
+        # interleaved prints would corrupt the final JSON line
+        with emit_lock:
+            if emitted[0]:
+                return
+            emitted[0] = True
         print(json.dumps({**headline, **extras}), flush=True)
 
     def watchdog() -> None:

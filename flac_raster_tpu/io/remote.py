@@ -162,8 +162,12 @@ class RemoteFile:
         self._store = store
         self._key: Optional[str] = None
         self._file_size: Optional[int] = None
+        self._supports_range: Optional[bool] = None
         self._session = session
         self._session_lock = threading.Lock()
+        # full body, cached once if the server turns out to ignore Range --
+        # every subsequent range is served locally instead of re-downloading
+        self._body_cache: Optional[bytes] = None
         if self.scheme in ("s3", "az", "gs"):
             scheme, bucket, self._key = parse_cloud_url(url)
             if self._store is None:
@@ -219,12 +223,17 @@ class RemoteFile:
 
     @property
     def supports_range(self) -> bool:
-        """Advertised Accept-Ranges support (stores always support it)."""
+        """Advertised Accept-Ranges support (stores always support it);
+        one HEAD on first use, cached like ``file_size``."""
         if self._store is not None:
             return True
-        response = self._http().head(self.url, timeout=10)
-        response.raise_for_status()
-        return "bytes" in response.headers.get("accept-ranges", "").lower()
+        if self._supports_range is None:
+            response = self._http().head(self.url, timeout=10)
+            response.raise_for_status()
+            self._supports_range = (
+                "bytes" in response.headers.get("accept-ranges", "").lower()
+            )
+        return self._supports_range
 
     # -- reads -------------------------------------------------------------
 
@@ -232,6 +241,9 @@ class RemoteFile:
         """Read inclusive byte range [start, end]."""
         if self._store is not None:
             return bytes(self._store.get_range(self._key, start=start, end=end + 1))
+        body = self._body_cache
+        if body is not None:  # server is known to ignore Range
+            return body[start : end + 1]
         response = self._http().get(
             self.url, headers={"Range": f"bytes={start}-{end}"}, timeout=60
         )
@@ -239,8 +251,11 @@ class RemoteFile:
             self._note_size_from_content_range(response)
             return response.content
         if response.status_code == 200:
-            # server ignored Range: slice the full body (reference behavior)
+            # Server ignored Range: slice the full body (reference
+            # behavior), and keep ONE copy so concurrent read_many workers
+            # and later reads don't each re-download the whole object.
             logger.warning("server returned full content, extracting range")
+            self._body_cache = response.content
             self._file_size = len(response.content)
             return response.content[start : end + 1]
         response.raise_for_status()
@@ -266,7 +281,8 @@ class RemoteFile:
                 bytes(b)
                 for b in self._store.get_ranges(self._key, starts=starts, ends=ends)
             ]
-        self._http()  # build the session once, outside the worker threads
+        if self._store is None:
+            self._http()  # build the session once, outside the worker threads
         futures = [
             _shared_executor().submit(self.read_range, s, e) for s, e in ranges
         ]
