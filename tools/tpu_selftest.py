@@ -117,12 +117,22 @@ def main() -> int:
     from flac_raster_tpu.codec.decoder import decode_flac
     from flac_raster_tpu.codec.device_decoder import decode_flac_device
 
+    import os as _os
+
     blob = encode_flac_fast(s2, 44100, 16, 5)
     host = decode_flac(blob, verify_crc=True)
-    dev = decode_flac_device(blob, verify_crc=True)
-    ok4 = np.array_equal(np.asarray(dev.samples), host.samples)
-    print(f"4. decode_flac_device == host decoder samples: "
-          f"{'OK' if ok4 else 'FAIL'}")
+    ok4 = True
+    for mode in ("1", "0"):  # row-sliced gather AND element-gather modes
+        _os.environ["FRTPU_DECODE_ROW"] = mode
+        try:
+            dev = decode_flac_device(blob, verify_crc=True)
+        finally:
+            _os.environ.pop("FRTPU_DECODE_ROW", None)
+        okm = np.array_equal(np.asarray(dev.samples), host.samples)
+        ok4 = ok4 and okm
+        label = "row" if mode == "1" else "elem"
+        print(f"4. decode_flac_device ({label}) == host decoder samples: "
+              f"{'OK' if okm else 'FAIL'}")
 
     return 0 if (ok1 and ok2 and ok3 and ok4) else 1
 
