@@ -92,20 +92,23 @@ def test_device_decode_subframe_kinds(rng):
     _check(blob, x)
 
 
-def test_device_decode_row_gather_mode(rng, monkeypatch):
+@pytest.mark.parametrize("channels,bps", [(1, 8), (2, 16), (3, 12), (2, 24)])
+def test_device_decode_row_gather_mode(rng, monkeypatch, channels, bps):
     """The row-sliced rice-scan gather (the TPU default) must match the
-    element-gather mode byte for byte.  On the CPU mesh the auto mode picks
-    element gathers, so force row mode through the env knob."""
+    element-gather mode byte for byte on every stream class.  On the CPU
+    mesh the auto mode picks element gathers, so force row mode through
+    the env knob."""
     monkeypatch.setenv("FRTPU_DECODE_ROW", "1")
+    lim = 1 << (bps - 1)
     parts = [
-        np.full(N, -7),
-        rng.integers(-30000, 30000, N),
-        np.cumsum(rng.integers(-3, 4, (N, 2)), axis=0).T.ravel()[:N],
-        (1000 * np.sin(np.arange(N) / 5.0)).astype(int),
+        np.full(N, -7),                                       # constant
+        rng.integers(-lim, lim, N),                           # verbatim-ish
+        np.clip(np.cumsum(rng.integers(-3, 4, N)), -lim, lim - 1),
+        (lim // 30 * np.sin(np.arange(N) / 5.0)).astype(int), # tonal -> lpc
     ]
     x = np.concatenate(parts).astype(np.int32)
-    x = np.stack([x, np.roll(x, 3)], axis=1)  # stereo: mid-side paths too
-    blob = encode_flac_fast(x, 44100, 16, 5, blocksize=N)
+    x = np.stack([np.roll(x, 3 * c) for c in range(channels)], axis=1)
+    blob = encode_flac_fast(x, 44100, bps, 5, blocksize=N)
     _check(blob, x)
 
 
