@@ -55,6 +55,7 @@ BUDGET_S = float(os.environ.get("FRTPU_BENCH_BUDGET_S", 900))
 
 _T0 = time.monotonic()
 _STAGE = ["startup"]
+_HEADLINE_DONE = threading.Event()
 
 
 def _note(stage: str) -> None:
@@ -195,8 +196,8 @@ def main() -> None:
     # Pre-headline deadline: if the backend is unreachable (a dead relay
     # hangs jax init / the first compile forever), still land a parseable
     # line instead of dying mute on the driver's timeout (round-2 lesson).
-    init_budget = float(os.environ.get("FRTPU_BENCH_INIT_BUDGET_S", 2400))
-    headline_done = threading.Event()
+    init_budget = float(os.environ.get("FRTPU_BENCH_INIT_BUDGET_S", 1500))
+    headline_done = _HEADLINE_DONE
 
     def init_watchdog() -> None:
         if headline_done.wait(init_budget):
@@ -220,12 +221,41 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/frtpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # Backend liveness probe in a BOUNDED subprocess before the first
+    # in-process backend touch: a dead relay HANGS backend init (measured
+    # >10 min, no exception), which would strand the main thread where no
+    # fallback can reach it.  The parent has not initialized any backend
+    # yet, so on probe failure it can still flip to CPU cleanly.
+    platform_note: str | None = None
+    _cpu_err = ""
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu"):
+        _note("probing TPU backend liveness (bounded subprocess)")
+        import subprocess
+
+        probe_s = float(os.environ.get("FRTPU_BENCH_PROBE_S", 300))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print('ALIVE', jax.devices()[0].platform)"],
+                timeout=probe_s, capture_output=True, text=True,
+            )
+            if "ALIVE" not in r.stdout:
+                _cpu_err = (r.stderr or r.stdout).strip()[-160:]
+        except subprocess.TimeoutExpired:
+            _cpu_err = f"backend probe timed out after {probe_s:.0f}s"
+        if _cpu_err:
+            _note(f"TPU backend unreachable; measuring on CPU (labeled): {_cpu_err}")
+            jax.config.update("jax_platforms", "cpu")
+            platform_note = "cpu-fallback"
+
+    _note("importing package")
     from flac_raster_tpu.converter import RasterFLACConverter
     from flac_raster_tpu.utils.profiling import tame_device_client_threads
 
     tame_device_client_threads()
     conv = RasterFLACConverter(lossless=True, compute_md5=False)
 
+    _note("building synthetic raster")
     data = make_raster(SIZE)[None]
     # warmups: one full-size chunk compiles the executables, then one full
     # pass warms the allocator/page tables -- the timed pass measures
@@ -235,13 +265,30 @@ def main() -> None:
     _note("warmup encode (compiles executables; cold cache = minutes on the tunnel)")
     try:
         conv.encode_array(data[:, :, : (2048 * 4096) // SIZE])
-    except Exception:
-        _note("warmup failed; retrying with Pallas disabled")
-        from flac_raster_tpu.ops import device_codec
+    except Exception as warm_exc:
+        # Distinguish "TPU backend unreachable" (dead relay raises
+        # UNAVAILABLE at first device use) from a Mosaic compile failure:
+        # the former falls back to an honestly-LABELED CPU measurement --
+        # a real number beats an error line -- the latter retries with the
+        # pure-XLA paths (escape hatch: device_codec.DISABLE_PALLAS).
+        try:
+            jax.devices()
+            backend_ok = True
+        except RuntimeError:
+            backend_ok = False
+        if not backend_ok:
+            _note("TPU backend unavailable; measuring on CPU (labeled)")
+            jax.config.update("jax_platforms", "cpu")
+            platform_note = "cpu-fallback"
+            _cpu_err = f"{type(warm_exc).__name__}: {str(warm_exc)[:120]}"
+            conv.encode_array(data[:, :, : (2048 * 4096) // SIZE])
+        else:
+            _note("warmup failed; retrying with Pallas disabled")
+            from flac_raster_tpu.ops import device_codec
 
-        device_codec.DISABLE_PALLAS = True
-        jax.clear_caches()
-        conv.encode_array(data[:, :, : (2048 * 4096) // SIZE])
+            device_codec.DISABLE_PALLAS = True
+            jax.clear_caches()
+            conv.encode_array(data[:, :, : (2048 * 4096) // SIZE])
     _note("warmup full pass")
     conv.encode_array(data)
     raw_mb = data.nbytes / 1e6
@@ -264,6 +311,9 @@ def main() -> None:
         "unit": "MB/s",
         "vs_baseline": round(mbps / BASELINE_MBPS, 3),
     }
+    if platform_note is not None:
+        headline["platform"] = platform_note
+        headline["tpu_error"] = _cpu_err
     # --- the number lands NOW, before anything that could stall ---
     headline_done.set()
     print(json.dumps(headline), flush=True)
@@ -387,4 +437,19 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as exc:  # noqa: BLE001
+        # A dead relay surfaces as an UNAVAILABLE RuntimeError from backend
+        # init, not a hang -- the init watchdog never fires.  Whatever
+        # happens, the driver must see a parseable headline line.
+        if not _HEADLINE_DONE.is_set():
+            print(json.dumps({
+                "metric": "encode_throughput_uint16_level5",
+                "value": 0.0,
+                "unit": "MB/s",
+                "vs_baseline": 0.0,
+                "error": f"{type(exc).__name__}: {str(exc)[:160]} "
+                         f"(in: {_STAGE[0]})",
+            }), flush=True)
+        raise
