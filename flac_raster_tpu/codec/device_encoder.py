@@ -201,16 +201,25 @@ def encode_flac_device(
     tame_device_client_threads()
     debug = logger.isEnabledFor(logging.DEBUG)
 
-    def dispatch(c0: int, c1: int) -> dict:
+    # Uploads are staged one chunk ahead on a single worker thread: if
+    # host->device transfer blocks (backend-dependent; the dev tunnel moves
+    # ~raw_size at ~40 MB/s), it overlaps the previous chunk's drain work
+    # instead of serializing inside dispatch.  One worker keeps uploads
+    # ordered; jax dispatch is thread-safe.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def upload(c0: int, c1: int):
+        # contiguous row slice uploads copy-free
+        return jax.device_put(rows[c0 * blocksize : c1 * blocksize])
+
+    uploader = ThreadPoolExecutor(max_workers=1, thread_name_prefix="frtpu-up")
+
+    def dispatch(c0: int, c1: int, xr_dev) -> dict:
         t0 = time.perf_counter() if debug else 0.0
         Fc = c1 - c0
         f_pad = min(1 << max(0, (Fc - 1)).bit_length(), plan_chunk_frames)
-        # contiguous row slice uploads copy-free; pad + (F,N,C)->(F,C,N)
-        # relayout happen in-graph (_rows_to_fcn)
-        xr = rows[c0 * blocksize : c1 * blocksize]
-        xc = _rows_to_fcn(
-            jnp.asarray(xr), f_pad=f_pad, N=blocksize, C=channels
-        )
+        # pad + (F,N,C)->(F,C,N) relayout happen in-graph (_rows_to_fcn)
+        xc = _rows_to_fcn(xr_dev, f_pad=f_pad, N=blocksize, C=channels)
         n_words = worst_case_words(
             f_pad, channels, blocksize, bits_per_sample + (1 if use_ms else 0)
         )
@@ -287,14 +296,21 @@ def encode_flac_device(
             finish_drain(started)
         started = nxt
 
-    for c0, c1 in bounds:
-        inflight.append((c0, c1, dispatch(c0, c1)))
-        if len(inflight) >= _INFLIGHT:
+    try:
+        up_next = uploader.submit(upload, *bounds[0]) if bounds else None
+        for i, (c0, c1) in enumerate(bounds):
+            xr_dev = up_next.result()
+            if i + 1 < len(bounds):
+                up_next = uploader.submit(upload, *bounds[i + 1])
+            inflight.append((c0, c1, dispatch(c0, c1, xr_dev)))
+            if len(inflight) >= _INFLIGHT:
+                advance_drain()
+        while inflight:
             advance_drain()
-    while inflight:
-        advance_drain()
-    if started is not None:
-        finish_drain(started)
+        if started is not None:
+            finish_drain(started)
+    finally:
+        uploader.shutdown(wait=False)
 
     if n_full * blocksize < n:
         tail = smp[n_full * blocksize :].astype(np.int64) - zero_point

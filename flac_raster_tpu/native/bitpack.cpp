@@ -13,6 +13,46 @@
 #include <cstdint>
 #include <cstring>
 
+namespace {
+
+// Slice-by-8 CRC-16 (poly 0x8005, init 0, MSB-first): t[k][b] is the CRC
+// of byte b followed by k zero bytes, so 8 input bytes fold per step:
+//   crc' = t7[d0^hi(crc)] ^ t6[d1^lo(crc)] ^ t5[d2] ^ ... ^ t0[d7]
+struct Crc16Tables {
+    uint16_t t[8][256];
+    Crc16Tables() {
+        for (int i = 0; i < 256; ++i) {
+            uint16_t c = (uint16_t)(i << 8);
+            for (int k = 0; k < 8; ++k)
+                c = (uint16_t)((c << 1) ^ ((c & 0x8000) ? 0x8005 : 0));
+            t[0][i] = c;
+        }
+        for (int k = 1; k < 8; ++k)
+            for (int i = 0; i < 256; ++i)
+                t[k][i] = (uint16_t)((t[k - 1][i] << 8) ^
+                                     t[0][t[k - 1][i] >> 8]);
+    }
+};
+
+inline uint16_t crc16_span(const uint8_t* p, int64_t len) {
+    static const Crc16Tables T;
+    uint16_t crc = 0;
+    while (len >= 8) {
+        crc = (uint16_t)(T.t[7][p[0] ^ (crc >> 8)] ^
+                         T.t[6][p[1] ^ (crc & 0xFF)] ^
+                         T.t[5][p[2]] ^ T.t[4][p[3]] ^
+                         T.t[3][p[4]] ^ T.t[2][p[5]] ^
+                         T.t[1][p[6]] ^ T.t[0][p[7]]);
+        p += 8;
+        len -= 8;
+    }
+    while (len-- > 0)
+        crc = (uint16_t)((crc << 8) ^ T.t[0][(crc >> 8) ^ *p++]);
+    return crc;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Scatter-OR tokens into a byte buffer (MSB-first bit addressing).
@@ -78,22 +118,9 @@ void crc16_patch_spans_c(uint8_t* buf,
                          const int64_t* starts,
                          const int64_t* lens,
                          int64_t n) {
-    static uint16_t table[256];
-    static bool init = false;
-    if (!init) {
-        for (int i = 0; i < 256; ++i) {
-            uint16_t c = (uint16_t)(i << 8);
-            for (int k = 0; k < 8; ++k)
-                c = (uint16_t)((c << 1) ^ ((c & 0x8000) ? 0x8005 : 0));
-            table[i] = c;
-        }
-        init = true;
-    }
     for (int64_t i = 0; i < n; ++i) {
-        uint16_t crc = 0;
+        uint16_t crc = crc16_span(buf + starts[i], lens[i]);
         uint8_t* p = buf + starts[i];
-        for (int64_t j = 0; j < lens[i]; ++j)
-            crc = (uint16_t)((crc << 8) ^ table[(crc >> 8) ^ p[j]]);
         p[lens[i]] = (uint8_t)(crc >> 8);
         p[lens[i] + 1] = (uint8_t)(crc & 0xFF);
     }
@@ -117,7 +144,10 @@ void crc8_patch_spans_c(uint8_t* buf,
 
 namespace {
 
-// MSB-first bit reader with a 64-bit refill cache.
+// MSB-first bit reader.  The hot paths issue ONE unaligned 64-bit
+// big-endian load per call (nbits is always n_bytes*8, so the guard
+// `byte0 + 8 <= nbits/8` keeps the load window inside the buffer);
+// within 8 bytes of the end they fall back to a byte-at-a-time walk.
 struct BitRd {
     const uint8_t* buf;
     int64_t nbits;
@@ -125,21 +155,40 @@ struct BitRd {
     bool ok;
     BitRd(const uint8_t* b, int64_t total_bits, int64_t p)
         : buf(b), nbits(total_bits), pos(p), ok(true) {}
+
+    static inline uint64_t load_be64(const uint8_t* p) {
+        uint64_t v;
+        std::memcpy(&v, p, 8);
+#if defined(__GNUC__) || defined(__clang__)
+        return __builtin_bswap64(v);
+#else
+        uint64_t r = 0;
+        for (int i = 0; i < 8; ++i) r = (r << 8) | p[i];
+        return r;
+#endif
+    }
+
     inline uint64_t read(int n) {  // n in [0, 57]
         if (pos + n > nbits) { ok = false; return 0; }
+        if (n == 0) return 0;
         int64_t byte0 = pos >> 3;
         int drop = (int)(pos & 7);
-        uint64_t acc = 0;
-        int have = 0;
-        // load up to 8 bytes starting at byte0
-        for (int i = 0; i < 8 && have < drop + n; ++i) {
-            acc = (acc << 8) | buf[byte0 + i];
-            have += 8;
+        uint64_t acc;
+        if (byte0 + 8 <= (nbits >> 3)) {
+            acc = load_be64(buf + byte0) >> (64 - drop - n);
+        } else {
+            acc = 0;
+            int have = 0;
+            for (int i = 0; i < 8 && have < drop + n; ++i) {
+                acc = (acc << 8) | buf[byte0 + i];
+                have += 8;
+            }
+            acc >>= (have - drop - n);
         }
-        acc >>= (have - drop - n);
         pos += n;
-        return n >= 64 ? acc : (acc & ((1ULL << n) - 1ULL));
+        return acc & ((1ULL << n) - 1ULL);
     }
+
     inline int64_t read_unary() {
         // count zero bits until the terminating 1
         int64_t q = 0;
@@ -147,6 +196,26 @@ struct BitRd {
             if (pos >= nbits) { ok = false; return 0; }
             int64_t byte0 = pos >> 3;
             int bit_in = (int)(pos & 7);
+            if (byte0 + 8 <= (nbits >> 3)) {
+                // after << bit_in the top (64 - bit_in) bits are live
+                // stream bits and the vacated low bits are zeros, so
+                // acc == 0 means "no terminator in this window"
+                uint64_t acc = load_be64(buf + byte0) << bit_in;
+                if (acc == 0) {
+                    q += 64 - bit_in;
+                    pos += 64 - bit_in;
+                    continue;
+                }
+#if defined(__GNUC__) || defined(__clang__)
+                int lead = __builtin_clzll(acc);
+#else
+                int lead = 0;
+                while (!(acc & (1ULL << 63))) { acc <<= 1; ++lead; }
+#endif
+                q += lead;
+                pos += lead + 1;       // consume zeros + terminator
+                return q;
+            }
             uint8_t cur = (uint8_t)(buf[byte0] << bit_in);
             if (cur == 0) {            // rest of byte is zeros
                 q += 8 - bit_in;
@@ -202,7 +271,71 @@ int64_t decode_residual_c(const uint8_t* buf,
                 }
             }
         } else {
-            for (int32_t i = 0; i < count; ++i) {
+            // Cached-window Rice loop: `acc` holds the `nacc` top bits of
+            // the stream starting at `pos` (low bits zero-filled), so a
+            // typical q+1+k-bit code consumes register bits only; one
+            // 64-bit load serves several codes.  Within 8 bytes of the
+            // buffer end it falls back to the per-code BitRd walk.
+            int64_t pos = br.pos;
+            int64_t last_fast_byte = (br.nbits >> 3) - 8;
+            uint64_t acc = 0;
+            int nacc = 0;
+            int32_t i = 0;
+            for (; i < count; ++i) {
+                uint64_t q = 0;
+                for (;;) {
+                    if (nacc == 0) {
+                        if ((pos >> 3) > last_fast_byte) {
+                            // rewind the zeros consumed for this code: the
+                            // tail path re-reads the whole code via BitRd
+                            pos -= (int64_t)q;
+                            goto tail;
+                        }
+                        acc = BitRd::load_be64(buf + (pos >> 3)) << (pos & 7);
+                        nacc = 64 - (int)(pos & 7);
+                    }
+                    if (acc == 0) {  // no terminator in this window
+                        q += (uint64_t)nacc;
+                        pos += nacc;
+                        nacc = 0;
+                        continue;
+                    }
+#if defined(__GNUC__) || defined(__clang__)
+                    int lead = __builtin_clzll(acc);
+#else
+                    int lead = 0;
+                    { uint64_t t = acc; while (!(t >> 63)) { t <<= 1; ++lead; } }
+#endif
+                    q += (uint64_t)lead;
+                    pos += lead + 1;
+                    // lead+1 == 64 (terminator = last bit of a fresh
+                    // window) would be UB for <<; the window is then empty
+                    acc = (lead >= 63) ? 0 : acc << (lead + 1);
+                    nacc -= lead + 1;
+                    break;
+                }
+                uint64_t z;
+                if (k == 0) {
+                    z = q;
+                } else {
+                    if (nacc < (int)k) {
+                        if ((pos >> 3) > last_fast_byte) {
+                            pos -= (int64_t)q + 1;  // back to the code start
+                            goto tail;
+                        }
+                        acc = BitRd::load_be64(buf + (pos >> 3)) << (pos & 7);
+                        nacc = 64 - (int)(pos & 7);
+                    }
+                    z = (q << k) | (acc >> (64 - k));
+                    pos += k;
+                    acc <<= k;
+                    nacc -= k;
+                }
+                *o++ = (int64_t)(z >> 1) ^ -(int64_t)(z & 1);
+            }
+        tail:
+            br.pos = pos;
+            for (; i < count; ++i) {
                 uint64_t q = (uint64_t)br.read_unary();
                 uint64_t z = (q << k) | br.read((int)k);
                 *o++ = (int64_t)(z >> 1) ^ -(int64_t)(z & 1);
@@ -219,24 +352,8 @@ void crc16_spans_check_c(const uint8_t* buf,
                          const int64_t* lens,
                          int64_t n,
                          uint16_t* out) {
-    static uint16_t table[256];
-    static bool init = false;
-    if (!init) {
-        for (int i = 0; i < 256; ++i) {
-            uint16_t c = (uint16_t)(i << 8);
-            for (int k = 0; k < 8; ++k)
-                c = (uint16_t)((c << 1) ^ ((c & 0x8000) ? 0x8005 : 0));
-            table[i] = c;
-        }
-        init = true;
-    }
-    for (int64_t i = 0; i < n; ++i) {
-        uint16_t crc = 0;
-        const uint8_t* p = buf + starts[i];
-        for (int64_t j = 0; j < lens[i]; ++j)
-            crc = (uint16_t)((crc << 8) ^ table[(crc >> 8) ^ p[j]]);
-        out[i] = crc;
-    }
+    for (int64_t i = 0; i < n; ++i)
+        out[i] = crc16_span(buf + starts[i], lens[i]);
 }
 
 }  // extern "C"
@@ -298,6 +415,80 @@ inline int64_t sext(uint64_t v, int n) {
     return (int64_t)((v ^ sign) - sign);
 }
 
+// LPC restore with a compile-time order: the IIR recurrence is serial in i,
+// but a constant trip count lets the compiler keep the 8-16 multiply-adds
+// of each step in registers / SIMD lanes instead of a runtime-order loop.
+template <int ORDER>
+inline void lpc_restore_t(int64_t* x, int32_t n, const int64_t* qc,
+                          int64_t shift) {
+    for (int32_t i = ORDER; i < n; ++i) {
+        int64_t acc = 0;
+        for (int j = 0; j < ORDER; ++j) acc += qc[j] * x[i - 1 - j];
+        x[i] += acc >> shift;
+    }
+}
+
+inline void lpc_restore_dispatch(int64_t* x, int32_t n, int order,
+                                 const int64_t* qc, int64_t shift) {
+    switch (order) {
+        case 1:  lpc_restore_t<1>(x, n, qc, shift); break;
+        case 2:  lpc_restore_t<2>(x, n, qc, shift); break;
+        case 3:  lpc_restore_t<3>(x, n, qc, shift); break;
+        case 4:  lpc_restore_t<4>(x, n, qc, shift); break;
+        case 5:  lpc_restore_t<5>(x, n, qc, shift); break;
+        case 6:  lpc_restore_t<6>(x, n, qc, shift); break;
+        case 7:  lpc_restore_t<7>(x, n, qc, shift); break;
+        case 8:  lpc_restore_t<8>(x, n, qc, shift); break;
+        case 9:  lpc_restore_t<9>(x, n, qc, shift); break;
+        case 10: lpc_restore_t<10>(x, n, qc, shift); break;
+        case 11: lpc_restore_t<11>(x, n, qc, shift); break;
+        case 12: lpc_restore_t<12>(x, n, qc, shift); break;
+        default:
+            for (int32_t i = order; i < n; ++i) {
+                int64_t acc = 0;
+                for (int j = 0; j < order; ++j) acc += qc[j] * x[i - 1 - j];
+                x[i] += acc >> shift;
+            }
+    }
+}
+
+// Fixed-predictor restore: running-register forms of the order-1..4
+// binomial recurrences (x[i] += sum FC[j]*x[i-1-j]).
+inline void fixed_restore(int64_t* x, int32_t n, int order) {
+    switch (order) {
+        case 1: {
+            int64_t a = x[0];
+            for (int32_t i = 1; i < n; ++i) { a += x[i]; x[i] = a; }
+            break;
+        }
+        case 2: {
+            int64_t a = x[1], b = x[0];
+            for (int32_t i = 2; i < n; ++i) {
+                int64_t v = x[i] + 2 * a - b;
+                x[i] = v; b = a; a = v;
+            }
+            break;
+        }
+        case 3: {
+            int64_t a = x[2], b = x[1], c = x[0];
+            for (int32_t i = 3; i < n; ++i) {
+                int64_t v = x[i] + 3 * a - 3 * b + c;
+                x[i] = v; c = b; b = a; a = v;
+            }
+            break;
+        }
+        case 4: {
+            int64_t a = x[3], b = x[2], c = x[1], d = x[0];
+            for (int32_t i = 4; i < n; ++i) {
+                int64_t v = x[i] + 4 * a - 6 * b + 4 * c - d;
+                x[i] = v; d = c; c = b; b = a; a = v;
+            }
+            break;
+        }
+        default: break;  // order 0: residuals are the signal
+    }
+}
+
 // Decode one subframe into x[0..n). Returns false on malformed input.
 // `order > n` (warmup longer than the block) is rejected BEFORE any warmup
 // write: x has exactly n slots, so a crafted header (e.g. blocksize 1 with
@@ -325,13 +516,7 @@ bool decode_subframe(BitRd& br, int64_t* x, int32_t n, int bps) {
         int64_t end = decode_residual_c(br.buf, br.nbits, br.pos, n, order, x + order);
         if (end < 0) return false;
         br.pos = end;
-        static const int64_t FC[5][4] = {
-            {0,0,0,0},{1,0,0,0},{2,-1,0,0},{3,-3,1,0},{4,-6,4,-1}};
-        for (int32_t i = order; i < n; ++i) {
-            int64_t pred = 0;
-            for (int j = 0; j < order; ++j) pred += FC[order][j] * x[i - 1 - j];
-            x[i] += pred;
-        }
+        fixed_restore(x, n, order);
     } else if (type >= 32) {                      // lpc
         int order = (int)type - 31;
         if (order > n) return false;
@@ -345,11 +530,7 @@ bool decode_subframe(BitRd& br, int64_t* x, int32_t n, int bps) {
         int64_t end = decode_residual_c(br.buf, br.nbits, br.pos, n, order, x + order);
         if (end < 0) return false;
         br.pos = end;
-        for (int32_t i = order; i < n; ++i) {
-            int64_t acc = 0;
-            for (int j = 0; j < order; ++j) acc += qc[j] * x[i - 1 - j];
-            x[i] += acc >> shift;
-        }
+        lpc_restore_dispatch(x, n, order, qc, shift);
     } else {
         return false;
     }

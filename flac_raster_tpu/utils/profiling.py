@@ -167,12 +167,21 @@ def tame_device_client_threads() -> int:
         n = 0
         for tid_s in os.listdir("/proc/self/task"):
             tid = int(tid_s)
-            if tid != me:
-                try:
-                    os.setpriority(os.PRIO_PROCESS, tid, 19)
-                    n += 1
-                except OSError:
-                    pass
+            if tid == me:
+                continue
+            try:
+                # skip the framework's own pipeline workers (upload
+                # staging etc.) -- only the client's spinners should yield
+                with open(f"/proc/self/task/{tid}/comm") as f:
+                    if f.read().startswith("frtpu"):
+                        continue
+            except OSError:
+                pass
+            try:
+                os.setpriority(os.PRIO_PROCESS, tid, 19)
+                n += 1
+            except OSError:
+                pass
         _disable_thp()
         global _tamed
         if n and not _tamed:

@@ -52,3 +52,23 @@ def test_signed_reads():
     br = BitReader(packed)
     assert br.read_sint(9) == -3
     assert br.read_sint(3) == 3
+
+
+def test_native_rice_terminator_on_window_bit64():
+    """Unary terminator exactly on the last bit of a fresh byte-aligned
+    64-bit window: the cached Rice loop's `acc << (lead+1)` would be a
+    64-bit shift (UB) without its guard (native/bitpack.cpp)."""
+    native = pytest.importorskip("flac_raster_tpu.native")
+    if not native.available():
+        pytest.skip("native library unavailable")
+    # [2b method=0][4b porder=0][4b k=0] then 2 codes (blocksize 4, order 2):
+    #   code 1: q=5  -> bits 10..15 = 000001           (pos -> 16)
+    #   code 2: q=119: zeros 16..71 drain the first window to a refill at
+    #           the byte-aligned pos=72 (nacc=64), then 63 zeros + the
+    #           terminator at bit 135 == bit 64 of that fresh window
+    buf = np.zeros(24, np.uint8)
+    buf[1] = 0x01          # bits 8..15 = 00000001 (k nibble 0, then 000001)
+    buf[16] = 0x01         # bit 135 set
+    res, end = native.decode_residual(buf, 0, 4, 2)
+    assert end == 136
+    assert res.tolist() == [-3, -60]  # zigzag(5), zigzag(119)
