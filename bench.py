@@ -197,18 +197,24 @@ def main() -> None:
     # hangs jax init / the first compile forever), still land a parseable
     # line instead of dying mute on the driver's timeout (round-2 lesson).
     init_budget = float(os.environ.get("FRTPU_BENCH_INIT_BUDGET_S", 1500))
+    probe_s = float(os.environ.get("FRTPU_BENCH_PROBE_S", 300))
     headline_done = _HEADLINE_DONE
+    probe_done = threading.Event()
 
     def init_watchdog() -> None:
-        if headline_done.wait(init_budget):
+        # phase 1 covers import + the bounded probe; phase 2 grants the
+        # FULL init budget to the compile/warmup path so a cold compile
+        # cache on a healthy TPU is not killed by probe overhead
+        if headline_done.wait(probe_s + 300):
+            return
+        if probe_done.is_set() and headline_done.wait(init_budget):
             return
         print(json.dumps({
             "metric": "encode_throughput_uint16_level5",
             "value": 0.0,
             "unit": "MB/s",
             "vs_baseline": 0.0,
-            "error": f"no headline within {init_budget:.0f}s; "
-                     f"stuck in: {_STAGE[0]}",
+            "error": f"no headline within budget; stuck in: {_STAGE[0]}",
         }), flush=True)
         os._exit(0)
 
@@ -232,21 +238,29 @@ def main() -> None:
         _note("probing TPU backend liveness (bounded subprocess)")
         import subprocess
 
-        probe_s = float(os.environ.get("FRTPU_BENCH_PROBE_S", 300))
+        probe_ok = False
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; print('ALIVE', jax.devices()[0].platform)"],
                 timeout=probe_s, capture_output=True, text=True,
             )
-            if "ALIVE" not in r.stdout:
-                _cpu_err = (r.stderr or r.stdout).strip()[-160:]
+            out = r.stdout.strip()
+            # require a live NON-cpu platform: with a multi-platform
+            # setting (e.g. "axon,cpu") a dead relay yields "ALIVE cpu",
+            # which must fall back LABELED, not score as a TPU number
+            probe_ok = out.startswith("ALIVE") and not out.endswith(" cpu")
+            if not probe_ok:
+                _cpu_err = (r.stderr or r.stdout).strip()[-160:] or (
+                    f"probe rc={r.returncode} with no output"
+                )
         except subprocess.TimeoutExpired:
             _cpu_err = f"backend probe timed out after {probe_s:.0f}s"
-        if _cpu_err:
+        if not probe_ok:
             _note(f"TPU backend unreachable; measuring on CPU (labeled): {_cpu_err}")
             jax.config.update("jax_platforms", "cpu")
             platform_note = "cpu-fallback"
+    probe_done.set()
 
     _note("importing package")
     from flac_raster_tpu.converter import RasterFLACConverter

@@ -201,18 +201,40 @@ def encode_flac_device(
     tame_device_client_threads()
     debug = logger.isEnabledFor(logging.DEBUG)
 
-    # Uploads are staged one chunk ahead on a single worker thread: if
+    # Uploads are staged one chunk ahead on a DAEMON producer thread: if
     # host->device transfer blocks (backend-dependent; the dev tunnel moves
     # ~raw_size at ~40 MB/s), it overlaps the previous chunk's drain work
-    # instead of serializing inside dispatch.  One worker keeps uploads
-    # ordered; jax dispatch is thread-safe.
-    from concurrent.futures import ThreadPoolExecutor
+    # instead of serializing inside dispatch.  A daemon thread (not a
+    # ThreadPoolExecutor) so a transfer that hangs on a dead backend can
+    # never wedge interpreter exit via concurrent.futures' atexit join;
+    # the bounded queue keeps exactly one upload staged ahead.
+    import queue
+    import threading
 
-    def upload(c0: int, c1: int):
-        # contiguous row slice uploads copy-free
-        return jax.device_put(rows[c0 * blocksize : c1 * blocksize])
+    from ..utils.profiling import protect_current_thread
 
-    uploader = ThreadPoolExecutor(max_workers=1, thread_name_prefix="frtpu-up")
+    up_q: queue.Queue = queue.Queue(maxsize=1)
+    up_cancel = threading.Event()
+
+    def _upload_producer() -> None:
+        protect_current_thread()  # keep full priority vs the spinners
+        try:
+            for c0_, c1_ in bounds:
+                # contiguous row slice uploads copy-free
+                x = jax.device_put(rows[c0_ * blocksize : c1_ * blocksize])
+                while not up_cancel.is_set():
+                    try:
+                        up_q.put(x, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if up_cancel.is_set():
+                    return
+        except BaseException as exc:  # noqa: BLE001 -- re-raised by consumer
+            try:
+                up_q.put(exc, timeout=5)
+            except queue.Full:
+                pass
 
     def dispatch(c0: int, c1: int, xr_dev) -> dict:
         t0 = time.perf_counter() if debug else 0.0
@@ -296,12 +318,15 @@ def encode_flac_device(
             finish_drain(started)
         started = nxt
 
+    if bounds:
+        threading.Thread(
+            target=_upload_producer, daemon=True, name="frtpu-up"
+        ).start()
     try:
-        up_next = uploader.submit(upload, *bounds[0]) if bounds else None
-        for i, (c0, c1) in enumerate(bounds):
-            xr_dev = up_next.result()
-            if i + 1 < len(bounds):
-                up_next = uploader.submit(upload, *bounds[i + 1])
+        for c0, c1 in bounds:
+            xr_dev = up_q.get()
+            if isinstance(xr_dev, BaseException):
+                raise xr_dev
             inflight.append((c0, c1, dispatch(c0, c1, xr_dev)))
             if len(inflight) >= _INFLIGHT:
                 advance_drain()
@@ -310,7 +335,12 @@ def encode_flac_device(
         if started is not None:
             finish_drain(started)
     finally:
-        uploader.shutdown(wait=False)
+        # unblock a producer waiting on the full queue, then let it exit
+        up_cancel.set()
+        try:
+            up_q.get_nowait()
+        except queue.Empty:
+            pass
 
     if n_full * blocksize < n:
         tail = smp[n_full * blocksize :].astype(np.int64) - zero_point

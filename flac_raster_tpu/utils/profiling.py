@@ -138,6 +138,27 @@ def restore_cpu_affinity() -> int:
 _tamed = False
 
 
+_protected_tids: set[int] = set()
+
+
+def protect_current_thread() -> None:
+    """Exclude the calling thread from tame_device_client_threads' renice.
+
+    Framework pipeline workers (e.g. the device encoder's upload stager)
+    call this first thing so they are not deprioritized alongside the
+    device client's busy-poll spinners; also resets the thread's priority
+    in case a renice raced its registration.
+    """
+    import os
+    import threading
+
+    _protected_tids.add(threading.get_native_id())
+    try:
+        os.setpriority(os.PRIO_PROCESS, threading.get_native_id(), 0)
+    except OSError:  # pragma: no cover - best-effort
+        pass
+
+
 def tame_device_client_threads() -> int:
     """Deprioritize the TPU client's busy-polling threads on tiny hosts.
 
@@ -167,16 +188,12 @@ def tame_device_client_threads() -> int:
         n = 0
         for tid_s in os.listdir("/proc/self/task"):
             tid = int(tid_s)
-            if tid == me:
+            # skip the framework's own registered pipeline workers (upload
+            # staging etc.) -- only the client's spinners should yield.
+            # (An OS-comm check does not work here: CPython only names OS
+            # threads from 3.14.)
+            if tid == me or tid in _protected_tids:
                 continue
-            try:
-                # skip the framework's own pipeline workers (upload
-                # staging etc.) -- only the client's spinners should yield
-                with open(f"/proc/self/task/{tid}/comm") as f:
-                    if f.read().startswith("frtpu"):
-                        continue
-            except OSError:
-                pass
             try:
                 os.setpriority(os.PRIO_PROCESS, tid, 19)
                 n += 1
