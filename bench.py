@@ -384,7 +384,9 @@ def main() -> None:
         except Exception as exc:
             extras["decode_host_error"] = str(exc)[:120]
 
-    if remaining() > 120:
+    # skip on cpu-fallback: "device" decode on the CPU backend is not a
+    # TPU-ingest signal and can eat the whole extras budget at bench size
+    if remaining() > 120 and platform_note is None:
         _note("extras: device decode (compile + timing)")
         try:
             from flac_raster_tpu.codec.device_decoder import decode_flac_device
