@@ -31,6 +31,8 @@ keeps the cheapest of the four channel assignments (ops/stereo.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..models.flac_format import (
@@ -88,6 +90,29 @@ def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
             )
 
         return planner
+    import jax
+
+    devs = jax.local_devices()  # per-host planning under jax.distributed
+    if (
+        len(devs) <= 1
+        and jax.default_backend() == "cpu"
+        and os.environ.get("FRTPU_NATIVE_PLAN", "1") != "0"
+    ):
+        # CPU-only host: the C++ integer search (ops/native_planner) beats
+        # XLA:CPU several-fold at byte-identical output; the accelerator
+        # and multi-device mesh paths keep the XLA planner
+        from ..ops.native_planner import make_native_planner
+
+        nat = make_native_planner(
+            blocksize=blocksize,
+            bps=bps,
+            max_lpc_order=cfg.max_lpc_order,
+            apodizations=cfg.apodizations,
+            max_partition_order=min(cfg.max_partition_order, 6),
+            use_lpc=cfg.use_lpc,
+        )
+        if nat is not None:
+            return nat
     base = make_planner(
         blocksize=blocksize,
         bps=bps,
@@ -96,9 +121,6 @@ def _default_planner(blocksize: int, bps: int, cfg: "EncoderConfig"):
         max_partition_order=min(cfg.max_partition_order, 6),
         use_lpc=cfg.use_lpc,
     )
-    import jax
-
-    devs = jax.local_devices()  # per-host planning under jax.distributed
     if len(devs) <= 1:
         return base
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

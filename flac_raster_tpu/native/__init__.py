@@ -27,23 +27,27 @@ __all__ = [
     "crc16_patch",
     "decode_residual",
     "crc16_spans",
+    "plan_rice",
 ]
 
 _HERE = Path(__file__).parent
-_SRC = _HERE / "bitpack.cpp"
+_SRCS = (_HERE / "bitpack.cpp", _HERE / "plan.cpp")
 _LIB_PATH = _HERE / "libfrtpu.so"
 _STAMP_PATH = _HERE / "libfrtpu.so.sha256"
 _lib = None
 
 
 def _src_digest() -> str:
-    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
+    h = hashlib.sha256()
+    for src in _SRCS:
+        h.update(src.read_bytes())
+    return h.hexdigest()
 
 
 def _build() -> bool:
     cxx = os.environ.get("CXX", "g++")
     base = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
-            str(_SRC), "-o", str(_LIB_PATH)]
+            *map(str, _SRCS), "-o", str(_LIB_PATH)]
     # the library is always built on the machine that runs it (content-hash
     # gated), so -march=native is safe and vectorizes the CRC/Rice loops;
     # retried without it for compilers that reject the flag
@@ -119,6 +123,14 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
+    ]
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.plan_rice_i32_c.argtypes = [
+        _i32p, _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, _i32p, _i32p, _i32p, _i32p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+        _i32p, _i32p, _i32p,
     ]
     _lib = lib
     return _lib
@@ -243,6 +255,67 @@ def lpc_restore(warmups, residuals, qcoeffs, shifts):
         _ptr(qcoeffs, ctypes.c_int64), _ptr(shifts, ctypes.c_int64),
         b, order, max_len, _ptr(out, ctypes.c_int64),
     )
+    return out
+
+
+def plan_rice(
+    x: np.ndarray,
+    bps_e: np.ndarray,
+    max_po: int,
+    lpc: tuple | None,
+    precision: int,
+    order_slots: int,
+) -> dict:
+    """Integer remainder of plan_blocks (native/plan.cpp); see
+    ops/native_planner for the jitted float stage that feeds ``lpc``.
+
+    Args:
+        x: (B, N) int32 sample blocks.
+        bps_e: (B,) int32 effective bit depths.
+        lpc: None, or (r_lpc (W,B,N) i32, order_arr (W,B) i32,
+             qc (W,B,qslots) i32, shift (W,B) i32, safe (W,B) u8).
+    Returns:
+        plan dict matching ops/device_codec.plan_blocks (int32 numpy).
+    """
+    lib = _load()
+    assert lib, "native library unavailable"
+    x = np.ascontiguousarray(x, dtype=np.int32)
+    B, N = x.shape
+    bps_e = np.ascontiguousarray(bps_e, dtype=np.int32)
+    i32 = ctypes.c_int32
+    if lpc is None:
+        W, qslots = 0, 1
+        null_i32 = ctypes.POINTER(i32)()
+        r_lpc_p = order_p = qc_p = shift_p = null_i32
+        safe_p = ctypes.POINTER(ctypes.c_uint8)()
+    else:
+        r_lpc, order_arr, qc, shift, safe = (
+            np.ascontiguousarray(a, dtype=d)
+            for a, d in zip(lpc, (np.int32,) * 4 + (np.uint8,))
+        )
+        W, qslots = qc.shape[0], qc.shape[2]
+        r_lpc_p, order_p, qc_p, shift_p = (
+            _ptr(a, i32) for a in (r_lpc, order_arr, qc, shift)
+        )
+        safe_p = _ptr(safe, ctypes.c_uint8)
+    out = {
+        k: np.empty(shape, np.int32)
+        for k, shape in (
+            ("kind", B), ("order", B), ("method", B), ("po", B),
+            ("ks", (B, 64)), ("shift", B), ("qcoeffs", (B, order_slots)),
+            ("residual", (B, N)), ("subframe_bits", B), ("const_value", B),
+        )
+    }
+    lib.plan_rice_i32_c(
+        _ptr(x, i32), _ptr(bps_e, i32), B, N, max_po, W,
+        r_lpc_p, order_p, qc_p, shift_p, safe_p,
+        qslots, precision, order_slots,
+        *(_ptr(out[k], i32) for k in (
+            "kind", "order", "method", "po", "ks", "shift", "qcoeffs",
+            "residual", "subframe_bits", "const_value",
+        )),
+    )
+    out["precision"] = np.full(B, precision, np.int32)
     return out
 
 

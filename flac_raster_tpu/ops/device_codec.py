@@ -341,6 +341,87 @@ def _lpc_residual(x, qc, shift, order):
     return x - pred
 
 
+def _lpc_analyze(x, bps_e, order, precision, wname):
+    """Float stage of one LPC window candidate (apodize -> autocorr ->
+    Levinson -> estimated-order pick -> quantize -> exact int residual).
+
+    Shared verbatim by plan_blocks and the native host planner
+    (ops/native_planner): both trace the SAME ops so XLA:CPU produces
+    bit-identical coefficients either way, keeping the integer remainder
+    of the plan -- and therefore the emitted bytes -- byte-identical.
+
+    Args:
+        x: (B, N) int32 blocks.
+        bps_e: (B,) int32 effective bit depths.
+        order: static max LPC order.
+        precision: static coefficient precision (15).
+        wname: apodization window spec string.
+    Returns:
+        (order_arr (B,) int32, qc (B, order) int32, shift (B,) int32,
+         lpc_safe (B,) bool, r_lpc (B, N) int32)
+    """
+    B, N = x.shape
+    w = jnp.asarray(apodization_window(wname, N))
+    xf = x.astype(jnp.float32) * w[None, :]
+    rlags = [jnp.sum(xf * xf, axis=1)]
+    for lag in range(1, order + 1):
+        rlags.append(jnp.sum(xf[:, lag:] * xf[:, : N - lag], axis=1))
+    rr = jnp.stack(rlags, axis=1)
+    coeffs_all, errs = _levinson_all(rr)           # (B, M, M), (B, M)
+    # order choice by estimated bits: (n-o) * 0.5*log2(err/n) header-adjusted
+    o_f = jnp.arange(1, order + 1, dtype=jnp.float32)[None, :]
+    bits_per_res = jnp.maximum(
+        0.5 * jnp.log2(jnp.maximum(errs, 1e-9) / float(N)), 0.0
+    )
+    est = (float(N) - o_f) * bits_per_res + o_f * (
+        bps_e.astype(jnp.float32)[:, None] + float(precision)
+    )
+    best_o = jnp.argmin(est, axis=1)               # (B,) 0-based
+    order_arr = (best_o + 1).astype(jnp.int32)
+    coeffs = jnp.take_along_axis(
+        coeffs_all, best_o[:, None, None], axis=1
+    )[:, 0]                                        # (B, M), zero-padded
+    qc, shift = _quantize_coeffs(coeffs, precision)
+    # error-feedback rounding can leak into padded taps; hard-zero them so
+    # the emitted coefficients and the residual convolution agree exactly
+    tap = jax.lax.broadcasted_iota(jnp.int32, qc.shape, 1)
+    qc = jnp.where(tap < order_arr[:, None], qc, 0)
+    # conservative int32-overflow guard (see module docstring)
+    abs_sum = jnp.sum(jnp.abs(qc).astype(jnp.float32), axis=1)
+    max_abs_x = jnp.max(jnp.abs(x), axis=1).astype(jnp.float32)
+    lpc_safe = (abs_sum * max_abs_x) * 1.001 < float(1 << 30)
+    lpc_safe = lpc_safe & (jnp.max(jnp.abs(qc), axis=1) > 0)
+    # M-tap convolution with zero coefficients beyond order_arr computes
+    # the exact order_arr-tap residual for every i >= order_arr
+    r_lpc = _lpc_residual(x, qc, shift, order)
+    return order_arr, qc, shift, lpc_safe, r_lpc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_lpc_order", "precision", "apodizations")
+)
+def analyze_lpc_windows(
+    blocks,
+    bps_arr,
+    *,
+    max_lpc_order: int,
+    precision: int = 15,
+    apodizations: tuple = ("tukey(0.5)",),
+):
+    """Jitted float analysis for every apodization window (native-plan path).
+
+    Returns a tuple of per-window ``_lpc_analyze`` tuples; the integer Rice
+    search / candidate selection that plan_blocks would do next runs in
+    native C++ instead (native/plan.cpp via ops/native_planner).
+    """
+    x = blocks.astype(jnp.int32)
+    bps_e = jnp.asarray(bps_arr, jnp.int32)
+    return tuple(
+        _lpc_analyze(x, bps_e, max_lpc_order, precision, w)
+        for w in apodizations
+    )
+
+
 BlockPlan = dict  # plain-dict pytree; keys documented in plan_blocks
 
 
@@ -422,39 +503,9 @@ def plan_blocks(
     precision = 15
 
     def _lpc_candidate(wname):
-        w = jnp.asarray(apodization_window(wname, N))
-        xf = x.astype(jnp.float32) * w[None, :]
-        rlags = [jnp.sum(xf * xf, axis=1)]
-        for lag in range(1, order + 1):
-            rlags.append(jnp.sum(xf[:, lag:] * xf[:, : N - lag], axis=1))
-        rr = jnp.stack(rlags, axis=1)
-        coeffs_all, errs = _levinson_all(rr)           # (B, M, M), (B, M)
-        # order choice by estimated bits: (n-o) * 0.5*log2(err/n) header-adjusted
-        o_f = jnp.arange(1, order + 1, dtype=jnp.float32)[None, :]
-        bits_per_res = jnp.maximum(
-            0.5 * jnp.log2(jnp.maximum(errs, 1e-9) / float(N)), 0.0
+        order_arr, qc, shift, lpc_safe, r_lpc = _lpc_analyze(
+            x, bps_e, order, precision, wname
         )
-        est = (float(N) - o_f) * bits_per_res + o_f * (
-            bps_e.astype(jnp.float32)[:, None] + float(precision)
-        )
-        best_o = jnp.argmin(est, axis=1)               # (B,) 0-based
-        order_arr = (best_o + 1).astype(jnp.int32)
-        coeffs = jnp.take_along_axis(
-            coeffs_all, best_o[:, None, None], axis=1
-        )[:, 0]                                        # (B, M), zero-padded
-        qc, shift = _quantize_coeffs(coeffs, precision)
-        # error-feedback rounding can leak into padded taps; hard-zero them so
-        # the emitted coefficients and the residual convolution agree exactly
-        tap = jax.lax.broadcasted_iota(jnp.int32, qc.shape, 1)
-        qc = jnp.where(tap < order_arr[:, None], qc, 0)
-        # conservative int32-overflow guard (see module docstring)
-        abs_sum = jnp.sum(jnp.abs(qc).astype(jnp.float32), axis=1)
-        max_abs_x = jnp.max(jnp.abs(x), axis=1).astype(jnp.float32)
-        lpc_safe = (abs_sum * max_abs_x) * 1.001 < float(1 << 30)
-        lpc_safe = lpc_safe & (jnp.max(jnp.abs(qc), axis=1) > 0)
-        # M-tap convolution with zero coefficients beyond order_arr computes
-        # the exact order_arr-tap residual for every i >= order_arr
-        r_lpc = _lpc_residual(x, qc, shift, order)
         z = _zigzag_u32(r_lpc)
         method_l, po_l, ks_l, payload_l, valid_l = _rice_search(
             z, order_arr, N, max_partition_order, idx
