@@ -210,8 +210,12 @@ class _Group:
         self.l.append(np.ascontiguousarray(lengths, dtype=np.int64).ravel())
         self.o.append(np.ascontiguousarray(offsets, dtype=np.int64).ravel())
 
-    def pack_array(self, total_bits: int) -> np.ndarray:
-        """Pack to a mutable uint8 array (native C packer when available)."""
+    def pack_array(self, total_bits: int, out: np.ndarray | None = None) -> np.ndarray:
+        """Pack to a mutable uint8 array (native C packer when available).
+
+        ``out`` may be a preallocated zeroed buffer (with >= 8 bytes slack)
+        to OR into; the native subframe emitter shares it afterwards.
+        """
         v = np.concatenate(self.v)
         l = np.concatenate(self.l)
         o = np.concatenate(self.o)
@@ -220,8 +224,12 @@ class _Group:
         from .. import native
 
         if native.available():
-            return native.pack_tokens_native(v, l, o, total_bits)
-        return np.frombuffer(pack_tokens(v, l, o, total_bits), np.uint8).copy()
+            return native.pack_tokens_native(v, l, o, total_bits, out=out)
+        packed = np.frombuffer(pack_tokens(v, l, o, total_bits), np.uint8)
+        if out is not None:
+            out[: len(packed)] |= packed
+            return out[: len(packed)]
+        return packed.copy()
 
 
 def _emit_chunk(
@@ -270,7 +278,7 @@ def _emit_chunk(
     shift = plan["shift"].astype(np.int64)
     qcoeffs = plan["qcoeffs"].astype(np.int64)  # (F, C, 8)
     sf_bits = plan["subframe_bits"].astype(np.int64)
-    residual = plan["residual"].astype(np.int64)  # (F, C, N)
+    residual_raw = plan["residual"]               # (F, C, N)
 
     is_rice = (kind == KIND_FIXED) | (kind == KIND_LPC)
     is_lpc = kind == KIND_LPC
@@ -374,50 +382,85 @@ def _emit_chunk(
     )
 
     # ---- sample tokens -------------------------------------------------------
-    i = np.arange(N)[None, None, :]
-    part = i >> (log2n - po)[:, :, None]                    # (F, C, N)
-    k = np.take_along_axis(ks, part, axis=2)                # (F, C, N)
-    z = ((residual << 1) ^ (residual >> 63)).astype(np.uint64)
-    ku = k.astype(np.uint64)
-    q = (z >> ku).astype(np.int64)
-    in_resid = i >= order[:, :, None]
-    rice_tok = is_rice[:, :, None] & in_resid
-    L = np.where(rice_tok, q + 1 + k, np.where(is_verb[:, :, None], ch_bps[:, :, None], 0))
-    vals = np.where(
-        rice_tok,
-        (np.uint64(1) << ku) | (z & ((np.uint64(1) << ku) - np.uint64(1))),
-        (x & bmask[:, :, None]).astype(np.uint64),
-    )
-    E = np.zeros_like(L)
-    np.cumsum(L[:, :, :-1], axis=2, out=E[:, :, 1:])        # exclusive cumsum
-    sample_off = (
-        sf_start[:, :, None]
-        + payload_base[:, :, None]
-        + np.where(rice_tok, pbits[:, :, None] * (part + 1), 0)
-        + E
-    )
-    g.add(vals, L, sample_off)
+    from .. import native
 
-    # rice partition-parameter tokens
-    p64 = np.arange(64)[None, None, :]
-    p_used = (p64 < (np.int64(1) << po)[:, :, None]) & is_rice[:, :, None]
-    sp = np.minimum(p64 << (log2n - po)[:, :, None], N - 1)  # partition start sample
-    Ep = np.take_along_axis(E, sp, axis=2)
-    k_off = sf_start[:, :, None] + payload_base[:, :, None] + pbits[:, :, None] * p64 + Ep
-    g.add(
-        np.where(p_used, ks, 0).astype(np.uint64),
-        np.where(p_used, pbits[:, :, None], 0),
-        k_off,
+    use_native_emit = (
+        native.available()
+        and residual_raw.dtype == np.int32
+        and int(ch_bps.max()) <= 27
+        and os.environ.get("FRTPU_NATIVE_EMIT", "1") != "0"
     )
+    if use_native_emit:
+        # sequential native writer (bitpack.cpp emit_subframes_c): header
+        # tokens pack first, then the payloads OR in over them.  Constant
+        # subframes have no payload; check their exact size here (the
+        # native pass checks every other kind token-for-token).
+        if not np.array_equal(sf_bits[is_const], (8 + ch_bps)[is_const]):
+            raise AssertionError("emitter/planner bit mismatch on constant subframes")
+        n_bytes_total = (total_bits + 7) // 8
+        buf_base = np.zeros(n_bytes_total + 8, np.uint8)
+        g.pack_array(total_bits, out=buf_base)
+        start_bits = (sf_start + payload_base).ravel()
+        expect = np.where(
+            is_rice | is_verb, sf_bits - payload_base, 0
+        ).ravel()
+        err = native.emit_subframes(
+            x.reshape(F * C, N), residual_raw.reshape(F * C, N),
+            kind.ravel(), order.ravel(), method.ravel(), po.ravel(),
+            ks.reshape(F * C, 64), ch_bps.ravel(),
+            start_bits, expect, buf_base, total_bits,
+        )
+        if err >= 0:
+            raise AssertionError(
+                f"emitter/planner bit mismatch at subframe {divmod(err, C)}"
+            )
+        buf = buf_base[:n_bytes_total]
+    else:
+        residual = residual_raw.astype(np.int64)            # (F, C, N)
+        i = np.arange(N)[None, None, :]
+        part = i >> (log2n - po)[:, :, None]                    # (F, C, N)
+        k = np.take_along_axis(ks, part, axis=2)                # (F, C, N)
+        z = ((residual << 1) ^ (residual >> 63)).astype(np.uint64)
+        ku = k.astype(np.uint64)
+        q = (z >> ku).astype(np.int64)
+        in_resid = i >= order[:, :, None]
+        rice_tok = is_rice[:, :, None] & in_resid
+        L = np.where(rice_tok, q + 1 + k, np.where(is_verb[:, :, None], ch_bps[:, :, None], 0))
+        vals = np.where(
+            rice_tok,
+            (np.uint64(1) << ku) | (z & ((np.uint64(1) << ku) - np.uint64(1))),
+            (x & bmask[:, :, None]).astype(np.uint64),
+        )
+        E = np.zeros_like(L)
+        np.cumsum(L[:, :, :-1], axis=2, out=E[:, :, 1:])        # exclusive cumsum
+        sample_off = (
+            sf_start[:, :, None]
+            + payload_base[:, :, None]
+            + np.where(rice_tok, pbits[:, :, None] * (part + 1), 0)
+            + E
+        )
+        g.add(vals, L, sample_off)
 
-    # consistency: computed layout must match the planner's exact bit counts
-    sf_total = payload_base + np.where(is_rice, (pbits << po), 0) + E[:, :, -1] + L[:, :, -1]
-    sf_expected = np.where(is_const, 8 + ch_bps, sf_bits)
-    if not np.array_equal(np.where(is_const, 8 + ch_bps, sf_total), sf_expected):
-        bad = np.argwhere(np.where(is_const, 8 + ch_bps, sf_total) != sf_expected)
-        raise AssertionError(f"emitter/planner bit mismatch at {bad[:4]}")
+        # rice partition-parameter tokens
+        p64 = np.arange(64)[None, None, :]
+        p_used = (p64 < (np.int64(1) << po)[:, :, None]) & is_rice[:, :, None]
+        sp = np.minimum(p64 << (log2n - po)[:, :, None], N - 1)  # partition start sample
+        Ep = np.take_along_axis(E, sp, axis=2)
+        k_off = sf_start[:, :, None] + payload_base[:, :, None] + pbits[:, :, None] * p64 + Ep
+        g.add(
+            np.where(p_used, ks, 0).astype(np.uint64),
+            np.where(p_used, pbits[:, :, None], 0),
+            k_off,
+        )
 
-    buf = g.pack_array(total_bits)
+        # consistency: computed layout must match the planner's exact bit counts
+        sf_total = payload_base + np.where(is_rice, (pbits << po), 0) + E[:, :, -1] + L[:, :, -1]
+        sf_expected = np.where(is_const, 8 + ch_bps, sf_bits)
+        if not np.array_equal(np.where(is_const, 8 + ch_bps, sf_total), sf_expected):
+            bad = np.argwhere(np.where(is_const, 8 + ch_bps, sf_total) != sf_expected)
+            raise AssertionError(f"emitter/planner bit mismatch at {bad[:4]}")
+
+        buf = g.pack_array(total_bits)
 
     # ---- CRC patching --------------------------------------------------------
     from .. import native

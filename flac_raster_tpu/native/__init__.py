@@ -28,6 +28,7 @@ __all__ = [
     "decode_residual",
     "crc16_spans",
     "plan_rice",
+    "emit_subframes",
 ]
 
 _HERE = Path(__file__).parent
@@ -132,6 +133,13 @@ def _load():
         ctypes.c_int32, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
         _i32p, _i32p, _i32p,
     ]
+    lib.emit_subframes_c.argtypes = [
+        _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p, _i32p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.emit_subframes_c.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -317,6 +325,45 @@ def plan_rice(
     )
     out["precision"] = np.full(B, precision, np.int32)
     return out
+
+
+def emit_subframes(
+    x: np.ndarray,
+    resid: np.ndarray,
+    kind: np.ndarray,
+    order: np.ndarray,
+    method: np.ndarray,
+    po: np.ndarray,
+    ks: np.ndarray,
+    ch_bps: np.ndarray,
+    start_bits: np.ndarray,
+    expect_bits: np.ndarray,
+    buf: np.ndarray,
+    total_bits: int,
+) -> int:
+    """OR every subframe's payload (Rice partitions / verbatim samples)
+    into ``buf`` (see bitpack.cpp emit_subframes_c).
+
+    Returns -1 on success, else the first subframe index whose emitted bit
+    count disagrees with the planner's exact accounting.
+    """
+    lib = _load()
+    assert lib, "native library unavailable"
+    i32 = ctypes.c_int32
+    a32 = [
+        np.ascontiguousarray(a, dtype=np.int32)
+        for a in (x, resid, kind, order, method, po, ks, ch_bps)
+    ]
+    starts = np.ascontiguousarray(start_bits, dtype=np.int64)
+    expects = np.ascontiguousarray(expect_bits, dtype=np.int64)
+    S, N = a32[0].shape
+    return int(
+        lib.emit_subframes_c(
+            *(_ptr(a, i32) for a in a32),
+            _ptr(starts, ctypes.c_int64), _ptr(expects, ctypes.c_int64),
+            S, N, _ptr(buf, ctypes.c_uint8), total_bits,
+        )
+    )
 
 
 def decode_frames(

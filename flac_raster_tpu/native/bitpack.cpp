@@ -656,3 +656,114 @@ int64_t decode_frames_c(const uint8_t* buf,
 }
 
 }  // extern "C"
+
+namespace {
+
+// Sequential MSB-first bit writer that ORs into a shared buffer: the numpy
+// emitter packs the frame/subframe header tokens first and bit ranges are
+// disjoint, so OR order is irrelevant (same contract as pack_tokens_c).
+// Unary Rice quotients are runs of zero bits in a zero-initialized buffer
+// and cost only a cursor advance.  Bounds-checked: an oversized token
+// advances the cursor without writing, and the caller's per-subframe bit
+// accounting check then fails loudly.
+struct SeqWriter {
+    uint8_t* buf;
+    int64_t pos;
+    int64_t limit;
+
+    inline void put(uint64_t v, int nbits) {
+        if (nbits <= 0)
+            return;
+        if (nbits > 57) {  // single tokens here are <= 33 bits; safety split
+            put(v >> 32, nbits - 32);
+            put(v & 0xFFFFFFFFull, 32);
+            return;
+        }
+        if (pos + nbits > limit) {
+            pos += nbits;  // counted but unwritten -> accounting check fails
+            return;
+        }
+        v &= (1ull << nbits) - 1;
+        const int64_t byte = pos >> 3;
+        const int total = (int)(pos & 7) + nbits;  // <= 64
+        const uint64_t shifted = v << (64 - total);
+        const int nb = (total + 7) >> 3;
+        for (int j = 0; j < nb; ++j)
+            buf[byte + j] |= (uint8_t)(shifted >> (56 - 8 * j));
+        pos += nbits;
+    }
+    inline void zeros(int64_t n) { pos += n; }
+};
+
+inline uint32_t zz_enc(int32_t v) {
+    return ((uint32_t)v << 1) ^ (uint32_t)(v >> 31);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Emit the payload of every subframe -- Rice partition parameters + Rice
+// tokens, or verbatim samples -- directly into `buf`, ORing over the
+// already-packed header tokens.  This replaces the (F, C, N) int64 numpy
+// token block in codec/fast_encoder._emit_chunk: within a subframe the
+// layout is strictly sequential ([param p][tokens of partition p])..., so a
+// linear writer reproduces the scatter layout exactly.
+//
+//   x, resid:     (S, N) int32 slot signals / planned residuals
+//   kind..ch_bps: per-subframe plan fields (ks is (S, 64))
+//   start_bits:   (S,) absolute bit offset just past the 6-bit
+//                 residual-method field (sf_start + payload_base)
+//   expect_bits:  (S,) planner payload size = subframe_bits - payload_base
+//                 (0 for constant subframes, which have no payload here)
+//
+// Returns -1 on success, else the first subframe index whose emitted bit
+// count disagrees with the plan (the caller raises; buffer is then
+// garbage, preserving the emitters-raise exact-accounting contract).
+int64_t emit_subframes_c(
+    const int32_t* x, const int32_t* resid, const int32_t* kind,
+    const int32_t* order, const int32_t* method, const int32_t* po,
+    const int32_t* ks, const int32_t* ch_bps, const int64_t* start_bits,
+    const int64_t* expect_bits, int64_t S, int64_t N, uint8_t* buf,
+    int64_t limit_bits) {
+    int log2n = 0;
+    while ((1ll << log2n) < N)
+        ++log2n;
+    SeqWriter w{buf, 0, limit_bits};
+    for (int64_t s = 0; s < S; ++s) {
+        const int32_t kd = kind[s];
+        w.pos = start_bits[s];
+        const int64_t begin = w.pos;
+        if (kd == 2 || kd == 3) {  // fixed / lpc: Rice partitions
+            const int32_t* krow = ks + s * 64;
+            const int32_t* rrow = resid + s * N;
+            const int shift = log2n - po[s];
+            const int nparts = 1 << po[s];
+            const int pbits = 4 + method[s];
+            for (int p = 0; p < nparts; ++p) {
+                const int k = krow[p];
+                w.put((uint64_t)(uint32_t)k, pbits);
+                const int64_t iend = (int64_t)(p + 1) << shift;
+                int64_t i = p == 0 ? order[s] : (int64_t)p << shift;
+                const uint64_t kmask = (1ull << k) - 1;
+                for (; i < iend; ++i) {
+                    const uint32_t z = zz_enc(rrow[i]);
+                    w.zeros(z >> k);
+                    w.put(1ull, 1);
+                    w.put(z & kmask, k);
+                }
+            }
+        } else if (kd == 1) {  // verbatim
+            const int32_t* xrow = x + s * N;
+            const int bps = ch_bps[s];
+            const uint64_t bmask = (1ull << bps) - 1;
+            for (int64_t i = 0; i < N; ++i)
+                w.put((uint64_t)(uint32_t)xrow[i] & bmask, bps);
+        }
+        if (w.pos - begin != expect_bits[s])
+            return s;
+    }
+    return -1;
+}
+
+}  // extern "C"
