@@ -97,7 +97,9 @@ def _sync(x) -> None:
 
 def stage_breakdown(samples: np.ndarray) -> dict:
     """Time the encode stages separately on the SAME chunking the production
-    encoder uses (codec/device_encoder): device compute, readback, host."""
+    encoder uses (codec/device_encoder): upload, device compute, readback,
+    host."""
+    import jax
     import jax.numpy as jnp
 
     from flac_raster_tpu.codec.device_encoder import _PAGE_WORDS, _patch_crcs, _utf8_nbytes
@@ -139,14 +141,25 @@ def stage_breakdown(samples: np.ndarray) -> dict:
 
     raw_mb = len(bounds) * chunk * blocksize * channels * 2 / 1e6
 
+    # pre-upload every chunk and FORCE the transfers (device_put is async on
+    # the relay -- without the force the "compute" loop would be timing
+    # uploads) so t_device below is honest device compute
+    t0 = time.perf_counter()
+    xs = []
+    for c0, c1 in bounds:
+        x = jax.device_put(full[c0:c1])
+        xs.append(x)
+    for x in xs:
+        _sync(x.ravel()[:1])
+    t_upload = time.perf_counter() - t0
+
     # --- device compute only (tiny sync; <=3 in flight like the encoder) ---
     t0 = time.perf_counter()
     outs = []
     fbs = []
     pending = []
-    for c0, c1 in bounds:
-        out = plan_and_emit(jnp.asarray(full[c0:c1]), jnp.int32(c0),
-                            n_words=n_words, **static_kw)
+    for (c0, c1), x in zip(bounds, xs):
+        out = plan_and_emit(x, jnp.int32(c0), n_words=n_words, **static_kw)
         outs.append(out)
         pending.append(out)
         if len(pending) >= 3:
@@ -184,6 +197,7 @@ def stage_breakdown(samples: np.ndarray) -> dict:
     t_host = time.perf_counter() - t0
 
     return {
+        "upload_mbps": round(raw_mb / t_upload, 2),
         "device_mbps": round(raw_mb / t_device, 2),
         "readback_mbps": round(raw_mb / t_readback, 2),
         "host_mbps": round(raw_mb / t_host, 2),

@@ -19,6 +19,7 @@ is the decisive win both on PCIe and on this environment's tunneled TPU.
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 import numpy as np
@@ -61,6 +62,15 @@ def _rows_to_fcn(x_rows, *, f_pad: int, N: int, C: int):
     x = jax.lax.dynamic_update_slice(x, x_rows, (0, 0)) if rows != f_pad * N \
         else x_rows
     return x.reshape(f_pad, N, C).transpose(0, 2, 1)
+
+
+@jax.jit
+def _touch1(x):
+    """1-element probe of a device array: pulling the output to host forces
+    the array's own host->device transfer to complete first (on the axon
+    relay ``block_until_ready`` is a no-op and ``device_put`` is async, so
+    this tiny round trip is the only reliable upload fence)."""
+    return x.ravel()[:1]
 
 
 def _patch_crcs(buf: np.ndarray, frame_bits: np.ndarray, hdr_bits: np.ndarray) -> None:
@@ -138,6 +148,9 @@ def encode_flac_device(
             blocksize, comments, vendor, compute_md5, padding,
         )
     # keep per-chunk worst-case bits < 2^31 (int32 offsets in-graph)
+    plan_chunk_frames = int(
+        os.environ.get("FRTPU_CHUNK_FRAMES", plan_chunk_frames)
+    )
     max_frames = (1 << 30) // (channels * blocksize * (bits_per_sample + 2))
     plan_chunk_frames = max(1, min(plan_chunk_frames, max_frames))
 
@@ -183,14 +196,26 @@ def encode_flac_device(
         mid_side=use_ms,
     )
 
-    # Pipeline: dispatch up to _INFLIGHT chunks ahead (jax dispatch is async),
-    # then drain results -- device compute of chunk i+1 overlaps the host's
-    # readback + CRC pass of chunk i.
+    # Pipeline: STRICT TUNNEL ALTERNATION.  Measured on the axon relay
+    # (tools/probe_bandwidth.py, docs/hw_logs/r3): host->device ~70 MB/s,
+    # device->host ~26 MB/s, but CONCURRENT transfers in opposite
+    # directions run slower than back-to-back serial ones (the relay
+    # degrades under simultaneous bidirectional RPCs), and device_put is
+    # async -- a "staging thread" moves no bytes; the wire transfer happens
+    # at first use.  So the round-2/3 threaded overlap design (upload
+    # producer + async drains) was serializing anyway, and when it did
+    # overlap it made the tunnel slower.  The optimal schedule on this
+    # transport -- and a near-optimal one on PCIe, where transfers are
+    # negligible next to compute -- is one tunnel operation at a time:
+    #
+    #   upload(i) -> dispatch(i) -> [download(i-1) + CRC(i-1)]
+    #
+    # Device compute of chunk i overlaps the download of chunk i-1 and the
+    # upload of chunk i+1; the tunnel itself never carries two transfers.
     bounds = [
         (c0, min(c0 + plan_chunk_frames, n_full))
         for c0 in range(0, n_full, plan_chunk_frames)
     ]
-    inflight: list[tuple[int, int, dict]] = []
     chunks: list[bytes] = []
     sizes: list[np.ndarray] = []
     subs: list[np.ndarray] = []
@@ -200,41 +225,6 @@ def encode_flac_device(
     restore_cpu_affinity()
     tame_device_client_threads()
     debug = logger.isEnabledFor(logging.DEBUG)
-
-    # Uploads are staged one chunk ahead on a DAEMON producer thread: if
-    # host->device transfer blocks (backend-dependent; the dev tunnel moves
-    # ~raw_size at ~40 MB/s), it overlaps the previous chunk's drain work
-    # instead of serializing inside dispatch.  A daemon thread (not a
-    # ThreadPoolExecutor) so a transfer that hangs on a dead backend can
-    # never wedge interpreter exit via concurrent.futures' atexit join;
-    # the bounded queue keeps exactly one upload staged ahead.
-    import queue
-    import threading
-
-    from ..utils.profiling import protect_current_thread
-
-    up_q: queue.Queue = queue.Queue(maxsize=1)
-    up_cancel = threading.Event()
-
-    def _upload_producer() -> None:
-        protect_current_thread()  # keep full priority vs the spinners
-        try:
-            for c0_, c1_ in bounds:
-                # contiguous row slice uploads copy-free
-                x = jax.device_put(rows[c0_ * blocksize : c1_ * blocksize])
-                while not up_cancel.is_set():
-                    try:
-                        up_q.put(x, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-                if up_cancel.is_set():
-                    return
-        except BaseException as exc:  # noqa: BLE001 -- re-raised by consumer
-            try:
-                up_q.put(exc, timeout=5)
-            except queue.Full:
-                pass
 
     def dispatch(c0: int, c1: int, xr_dev) -> dict:
         t0 = time.perf_counter() if debug else 0.0
@@ -254,11 +244,10 @@ def encode_flac_device(
             logger.debug("dispatch f%d..%d: %.3fs", c0, c1, time.perf_counter() - t0)
         return out
 
-    def start_drain(c0: int, c1: int, out: dict) -> tuple:
-        """Sync on the cheap per-frame outputs and KICK OFF the big word
-        pull as an async device->host copy; the tunnel transfer then
-        overlaps the previous chunk's CRC pass and the next chunk's device
-        compute instead of blocking the main thread."""
+    def drain(c0: int, c1: int, out: dict) -> None:
+        """Sync the chunk's per-frame bit counts (tiny pull; blocks until
+        its compute lands), download the used word prefix (the ONE big
+        tunnel read), then byteswap + CRC-patch + assemble on host."""
         tame_device_client_threads()  # client threads spawn lazily
         t0 = time.perf_counter() if debug else 0.0
         Fc = c1 - c0
@@ -266,38 +255,27 @@ def encode_flac_device(
         # padded frames emit past the real frames' total bits; truncate there
         total_bits = int(frame_bits.sum())
         used_words = (total_bits + 31) // 32
-        # pull the used prefix in one bucketed slice; buckets are {1, 1.5} x
-        # powers of two pages, so overfetch is <= 33% (was <= 100% with pure
-        # powers of two) while compiled slice shapes stay O(log n)
+        # pull the used prefix in one bucketed slice; buckets are
+        # {1, 1.25, 1.5, 1.75} x powers of two pages, so overfetch is
+        # <= 25% while compiled slice shapes stay O(log n)
         used_pages = (used_words + _PAGE_WORDS - 1) // _PAGE_WORDS
         n_pages = out["words"].shape[0] // _PAGE_WORDS
         p2 = 1 << max(0, (used_pages - 1)).bit_length()
-        if p2 > 2 and used_pages <= (p2 * 3) // 4:
-            p2 = (p2 * 3) // 4
+        for num in (4, 5, 6, 7):  # quarters of the next power of two
+            cand = (p2 * num) // 4
+            if cand * 4 == p2 * num and used_pages <= cand:
+                p2 = cand
+                break
         p2 = min(max(p2, 1), n_pages)
-        words_dev = out["words"][: p2 * _PAGE_WORDS]
-        try:
-            words_dev.copy_to_host_async()
-        except Exception:  # noqa: BLE001 -- a backend without the hint
-            pass           # still materializes in finish_drain
-        sub_dev = out["subframe_bits"][:Fc, :-1]
+        t1 = time.perf_counter() if debug else 0.0
+        words = np.asarray(out["words"][: p2 * _PAGE_WORDS])
         if debug:
             logger.debug(
-                "start_drain f%d..%d: sync %.3fs, async pull of %.1f MB",
-                c0, c1, time.perf_counter() - t0, p2 * _PAGE_WORDS * 4 / 1e6,
+                "drain f%d..%d: compute-sync %.3fs, pull %.1f MB %.3fs",
+                c0, c1, t1 - t0, p2 * _PAGE_WORDS * 4 / 1e6,
+                time.perf_counter() - t1,
             )
-        return (c0, c1, frame_bits, words_dev, sub_dev)
-
-    def finish_drain(state: tuple) -> None:
-        c0, c1, frame_bits, words_dev, sub_dev = state
-        t0 = time.perf_counter() if debug else 0.0
-        words = np.asarray(words_dev)
-        if debug:
-            logger.debug(
-                "finish_drain f%d..%d: wait %.3fs", c0, c1,
-                time.perf_counter() - t0,
-            )
-        n_bytes = (int(frame_bits.sum()) + 7) // 8
+        n_bytes = (total_bits + 7) // 8
         buf = np.frombuffer(
             words.astype(">u4", copy=False).tobytes(), np.uint8
         )[:n_bytes].copy()
@@ -306,41 +284,76 @@ def encode_flac_device(
         _patch_crcs(buf, frame_bits.astype(np.int64), hdr_bits.astype(np.int64))
         chunks.append(buf.tobytes())
         sizes.append((frame_bits >> 3).astype(np.int64))
-        subs.append(np.asarray(sub_dev).astype(np.int64))
+        subs.append(np.asarray(out["subframe_bits"][:Fc, :-1]).astype(np.int64))
 
-    _INFLIGHT = 3
-    started: tuple | None = None
+    # FRTPU_PIPELINE=duplex (default) runs the forced uploads on a worker
+    # thread one chunk ahead, so upload(i+1) and download(i-1) share the
+    # link concurrently; =alt strictly alternates tunnel operations.
+    # A/B on hardware (tools/ab_pipeline.py, 2026-08-18): duplex 20.1 MB/s
+    # median e2e vs 16.0 alternating at chunk=2048 -- the relay link
+    # sustains ~29 MB/s aggregate under duplex vs ~23 ping-pong.
+    duplex = os.environ.get("FRTPU_PIPELINE", "duplex") == "duplex"
+    pending: tuple | None = None
+    if duplex and len(bounds) > 1:
+        import queue
+        import threading
 
-    def advance_drain() -> None:
-        nonlocal started
-        nxt = start_drain(*inflight.pop(0))
-        if started is not None:
-            finish_drain(started)
-        started = nxt
+        up_q: queue.Queue = queue.Queue(maxsize=1)
+        stop = threading.Event()
 
-    if bounds:
-        threading.Thread(
-            target=_upload_producer, daemon=True, name="frtpu-up"
-        ).start()
-    try:
-        for c0, c1 in bounds:
-            xr_dev = up_q.get()
-            if isinstance(xr_dev, BaseException):
-                raise xr_dev
-            inflight.append((c0, c1, dispatch(c0, c1, xr_dev)))
-            if len(inflight) >= _INFLIGHT:
-                advance_drain()
-        while inflight:
-            advance_drain()
-        if started is not None:
-            finish_drain(started)
-    finally:
-        # unblock a producer waiting on the full queue, then let it exit
-        up_cancel.set()
+        def _producer() -> None:
+            try:
+                for c0_, c1_ in bounds:
+                    x = jax.device_put(rows[c0_ * blocksize : c1_ * blocksize])
+                    np.asarray(_touch1(x))  # force the wire transfer HERE
+                    while not stop.is_set():
+                        try:
+                            up_q.put((c0_, c1_, x), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as exc:  # noqa: BLE001 -- re-raised by main
+                try:
+                    up_q.put(exc, timeout=5)
+                except queue.Full:
+                    pass
+
+        threading.Thread(target=_producer, daemon=True, name="frtpu-up").start()
         try:
-            up_q.get_nowait()
-        except queue.Empty:
-            pass
+            for _ in bounds:
+                item = up_q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                c0, c1, xr_dev = item
+                out = dispatch(c0, c1, xr_dev)
+                if pending is not None:
+                    drain(*pending)
+                pending = (c0, c1, out)
+        finally:
+            stop.set()
+            try:
+                up_q.get_nowait()
+            except queue.Empty:
+                pass
+    else:
+        for c0, c1 in bounds:
+            t0 = time.perf_counter() if debug else 0.0
+            # contiguous row slice uploads copy-free; FORCE the wire transfer
+            # now (device_put is async) so it is the only tunnel op in flight
+            xr_dev = jax.device_put(rows[c0 * blocksize : c1 * blocksize])
+            np.asarray(_touch1(xr_dev))
+            if debug:
+                logger.debug(
+                    "upload f%d..%d: %.3fs", c0, c1, time.perf_counter() - t0
+                )
+            out = dispatch(c0, c1, xr_dev)
+            if pending is not None:
+                drain(*pending)
+            pending = (c0, c1, out)
+    if pending is not None:
+        drain(*pending)
 
     if n_full * blocksize < n:
         tail = smp[n_full * blocksize :].astype(np.int64) - zero_point

@@ -378,9 +378,21 @@ def plan_and_emit(
     )
 
     # ---- sample tokens ----------------------------------------------------
+    # Per-sample Rice parameter WITHOUT a per-lane gather: every partition
+    # spans >= N/2^MPO samples, so gather ks once per MICRO-partition (2^MPO
+    # fixed-width slices per subframe) and broadcast over the slice.  The
+    # (F, C, N) take_along_axis this replaces measured ~83 ms/chunk net of
+    # dispatch overhead on v5e (per-lane dynamic gathers run at tens of
+    # M elem/s -- CLAUDE.md); the micro gather is F*C*2^MPO elements.
+    MPO = min(max_partition_order, log2n)
+    M = 1 << MPO
+    sub = N >> MPO
+    mi = jax.lax.broadcasted_iota(jnp.int32, (F, C, M), 2)
+    partM = mi >> jnp.maximum(MPO - po, 0)[:, :, None]     # (F, C, M)
+    kM = jnp.take_along_axis(ks[:, :, :M], partM, axis=2)
+    part = jnp.broadcast_to(partM[:, :, :, None], (F, C, M, sub)).reshape(F, C, N)
+    k = jnp.broadcast_to(kM[:, :, :, None], (F, C, M, sub)).reshape(F, C, N)
     i = jax.lax.broadcasted_iota(jnp.int32, (F, C, N), 2)
-    part = i >> (log2n - po)[:, :, None]
-    k = jnp.take_along_axis(ks, part, axis=2)
     ku = k.astype(jnp.uint32)
     z = ((residual.astype(jnp.uint32) << 1) ^ (residual >> 31).astype(jnp.uint32))
     q = (z >> ku).astype(jnp.int32)

@@ -64,9 +64,21 @@ def main() -> int:
     )
     raw_mb = s.nbytes / 2 / 1e6  # int16-equivalent raw size
     t0 = time.perf_counter()
-    blob = encode_flac_fast(s, 44100, 16, 5)
+    # FRTPU_FIXTURE=device builds the fixture with the device encoder --
+    # same stream family (FRTP v2 index, TOK32) but minutes faster than the
+    # host path on this box; use it for env-knob sweep sessions where the
+    # fixture is rebuilt once per process
+    if __import__("os").environ.get("FRTPU_FIXTURE") == "device":
+        from flac_raster_tpu.codec.device_encoder import encode_flac_device
+
+        blob = encode_flac_device(s, 44100, 16, 5)
+        enc_kind = "device"
+    else:
+        blob = encode_flac_fast(s, 44100, 16, 5)
+        enc_kind = "host"
     print(f"fixture: {frames} frames, raw {raw_mb:.1f} MB -> "
-          f"{len(blob)/1e6:.1f} MB compressed (host encode {time.perf_counter()-t0:.1f}s)")
+          f"{len(blob)/1e6:.1f} MB compressed ({enc_kind} encode "
+          f"{time.perf_counter()-t0:.1f}s)")
 
     # ---- end-to-end (includes host CRC pass + per-chunk dispatch) ----------
     dec = decode_flac_device(blob, verify_crc=True, chunk_frames=chunk)
