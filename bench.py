@@ -102,7 +102,12 @@ def stage_breakdown(samples: np.ndarray) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from flac_raster_tpu.codec.device_encoder import _PAGE_WORDS, _patch_crcs, _utf8_nbytes
+    from flac_raster_tpu.codec.device_encoder import (
+        _PAGE_WORDS,
+        _patch_crcs,
+        _pull_pages,
+        _utf8_nbytes,
+    )
     from flac_raster_tpu.codec.encoder import _BPS_CODES, _SAMPLE_RATE_CODES, EncoderConfig
     from flac_raster_tpu.codec.fast_encoder import _blocksize_header
     from flac_raster_tpu.ops.device_emit import plan_and_emit, worst_case_words
@@ -175,9 +180,7 @@ def stage_breakdown(samples: np.ndarray) -> dict:
     for o, fb in zip(outs, fbs):
         used_words = (int(fb.sum()) + 31) // 32
         used_pages = (used_words + _PAGE_WORDS - 1) // _PAGE_WORDS
-        p2 = 1 << max(0, (used_pages - 1)).bit_length()
-        if p2 > 2 and used_pages <= (p2 * 3) // 4:
-            p2 = (p2 * 3) // 4
+        p2 = _pull_pages(used_pages, o["words"].shape[0] // _PAGE_WORDS)
         w = np.asarray(o["words"][: p2 * _PAGE_WORDS])
         pulled.append((w, fb))
         comp_bytes += used_words * 4
@@ -359,7 +362,18 @@ def main() -> None:
             if emitted[0]:
                 return
             emitted[0] = True
-        print(json.dumps({**headline, **extras}), flush=True)
+        # the main thread may still be mutating extras when the watchdog
+        # fires -- a dict-merge mid-resize raises RuntimeError, which must
+        # not kill the one thread guaranteeing a final line
+        for _ in range(5):
+            try:
+                payload = {**headline, **extras}
+                break
+            except RuntimeError:
+                time.sleep(0.01)
+        else:
+            payload = dict(headline)
+        print(json.dumps(payload), flush=True)
 
     def watchdog() -> None:
         _note(f"extras budget ({BUDGET_S:.0f}s) expired during: {_STAGE[0]}")

@@ -73,6 +73,26 @@ def _touch1(x):
     return x.ravel()[:1]
 
 
+def _pull_pages(used_pages: int, n_pages: int) -> int:
+    """Device->host readback slice size in pages.
+
+    Quarter steps above the power of two BELOW ``used_pages``, so the
+    overfetch is <= 25% while the number of distinct compiled slice shapes
+    stays O(log n); pulls of <= 4 pages are exact.  (An earlier version
+    bucketed quarters of the power of two ABOVE, which always collapsed to
+    that power of two -- up to 100% overfetch on the tunnel hot path.)
+    """
+    used_pages = max(1, used_pages)
+    if used_pages <= 4:
+        return min(used_pages, n_pages)
+    lo = 1 << (used_pages.bit_length() - 1)  # power of two <= used_pages
+    for num in (4, 5, 6, 7, 8):              # lo, 1.25*lo, ..., 2*lo
+        cand = (lo * num) // 4               # lo >= 4 -> exact quarters
+        if used_pages <= cand:
+            return min(cand, n_pages)
+    return min(2 * lo, n_pages)              # not reachable
+
+
 def _patch_crcs(buf: np.ndarray, frame_bits: np.ndarray, hdr_bits: np.ndarray) -> None:
     """Patch per-frame CRC8 (header) and CRC16 (frame) in place."""
     from .. import native
@@ -255,18 +275,12 @@ def encode_flac_device(
         # padded frames emit past the real frames' total bits; truncate there
         total_bits = int(frame_bits.sum())
         used_words = (total_bits + 31) // 32
-        # pull the used prefix in one bucketed slice; buckets are
-        # {1, 1.25, 1.5, 1.75} x powers of two pages, so overfetch is
-        # <= 25% while compiled slice shapes stay O(log n)
+        # pull the used prefix in one bucketed slice (_pull_pages: quarter
+        # steps above the power of two BELOW used_pages -> <= 25% overfetch,
+        # O(log n) distinct compiled slice shapes)
         used_pages = (used_words + _PAGE_WORDS - 1) // _PAGE_WORDS
         n_pages = out["words"].shape[0] // _PAGE_WORDS
-        p2 = 1 << max(0, (used_pages - 1)).bit_length()
-        for num in (4, 5, 6, 7):  # quarters of the next power of two
-            cand = (p2 * num) // 4
-            if cand * 4 == p2 * num and used_pages <= cand:
-                p2 = cand
-                break
-        p2 = min(max(p2, 1), n_pages)
+        p2 = _pull_pages(used_pages, n_pages)
         t1 = time.perf_counter() if debug else 0.0
         words = np.asarray(out["words"][: p2 * _PAGE_WORDS])
         if debug:
@@ -302,6 +316,11 @@ def encode_flac_device(
         stop = threading.Event()
 
         def _producer() -> None:
+            from ..utils.profiling import protect_current_thread
+
+            protect_current_thread()  # drain()'s renice must not demote the
+            # upload stager to spinner priority -- its transfers ARE the
+            # pipeline's critical path on this single-core box
             try:
                 for c0_, c1_ in bounds:
                     x = jax.device_put(rows[c0_ * blocksize : c1_ * blocksize])
@@ -315,10 +334,15 @@ def encode_flac_device(
                     if stop.is_set():
                         return
             except BaseException as exc:  # noqa: BLE001 -- re-raised by main
-                try:
-                    up_q.put(exc, timeout=5)
-                except queue.Full:
-                    pass
+                # retry until delivered or cancelled: a drain on the slow
+                # tunnel easily outlasts any fixed timeout, and dropping
+                # the error would leave main blocked on up_q.get() forever
+                while not stop.is_set():
+                    try:
+                        up_q.put(exc, timeout=0.5)
+                        return
+                    except queue.Full:
+                        continue
 
         threading.Thread(target=_producer, daemon=True, name="frtpu-up").start()
         try:

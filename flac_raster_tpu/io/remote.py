@@ -249,6 +249,7 @@ class RemoteFile:
         )
         if response.status_code == 206:
             self._note_size_from_content_range(response)
+            self._supports_range = True  # observed, stronger than the HEAD ad
             return response.content
         if response.status_code == 200:
             # Server ignored Range: slice the full body (reference
@@ -283,6 +284,24 @@ class RemoteFile:
             ]
         if self._store is None:
             self._http()  # build the session once, outside the worker threads
+            body = self._body_cache
+            if body is None and self._supports_range is not True:
+                # Probe with ONE range before fanning out: a Range-ignoring
+                # server answers any ranged GET with the full body, and N
+                # blind concurrent workers would each download the whole
+                # object before the cache exists.  A 206 marks the server
+                # trustworthy (above) so later calls skip the probe.
+                first = self.read_range(*ranges[0])
+                body = self._body_cache
+                if body is None:
+                    futures = [
+                        _shared_executor().submit(self.read_range, s, e)
+                        for s, e in ranges[1:]
+                    ]
+                    return [first] + [f.result() for f in futures]
+                return [first] + [body[s : e + 1] for s, e in ranges[1:]]
+            if body is not None:  # full body already cached: no network
+                return [body[s : e + 1] for s, e in ranges]
         futures = [
             _shared_executor().submit(self.read_range, s, e) for s, e in ranges
         ]

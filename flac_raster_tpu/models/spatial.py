@@ -468,9 +468,28 @@ class SpatialFLACStreamer:
             if self._remote_file is None:
                 self._remote_file = RemoteFile(self.flac_path)
             return self._remote_file.read_many(ranges)
+        def pread_full(fd: int, n: int, off: int) -> bytes:
+            # os.pread may legally return short (NFS, EINTR); loop to n
+            # bytes and fail loudly at EOF instead of yielding a truncated
+            # tile blob that mis-decodes downstream
+            parts = []
+            while n > 0:
+                b = os.pread(fd, n, off)
+                if not b:
+                    raise EOFError(
+                        f"{self.flac_path}: EOF at {off}, "
+                        f"{n} bytes of range still unread"
+                    )
+                parts.append(b)
+                off += len(b)
+                n -= len(b)
+            return b"".join(parts)
+
         with open(self.flac_path, "rb") as f:
             fd = f.fileno()
-            return [os.pread(fd, end - start + 1, start) for start, end in ranges]
+            return [
+                pread_full(fd, end - start + 1, start) for start, end in ranges
+            ]
 
     def _read_span(self, offset: int, size: int) -> bytes:
         return self._read_ranges([(offset, offset + size - 1)])[0]
