@@ -365,3 +365,46 @@ class TestPropertyRoundtrip:
             dec = decode_flac(blob, verify_crc=True)
             assert np.array_equal(dec.samples.astype(np.int64), x), (
                 trial, channels, n, level, bps)
+
+
+class TestPipelinePlumbing:
+    """Round-3 review-fix regressions: readback bucketing and the duplex
+    upload producer's failure path."""
+
+    def test_pull_pages_bounds(self):
+        from flac_raster_tpu.codec.device_encoder import _pull_pages
+
+        for used in range(1, 5000):
+            got = _pull_pages(used, 10**9)
+            assert used <= got <= max(int(used * 1.25), used + 1), (used, got)
+        # exact under 5 pages, clamped by the buffer size
+        assert [_pull_pages(u, 10**9) for u in range(1, 5)] == [1, 2, 3, 4]
+        assert _pull_pages(65, 70) == 70
+        # O(log n) distinct shapes
+        assert len({_pull_pages(u, 10**9) for u in range(1, 4097)}) <= 60
+
+    def test_duplex_producer_error_raises_not_hangs(self, monkeypatch):
+        """A device_put failure mid-encode (relay death) must surface as an
+        exception from encode_flac_device, not leave the main thread parked
+        on the upload queue forever."""
+        import jax
+
+        from flac_raster_tpu.codec import device_encoder
+
+        monkeypatch.setenv("FRTPU_PIPELINE", "duplex")
+        real_put = jax.device_put
+        calls = {"n": 0}
+
+        def flaky_put(x, *a, **k):
+            calls["n"] += 1
+            if calls["n"] >= 3:
+                raise RuntimeError("relay died")
+            return real_put(x, *a, **k)
+
+        monkeypatch.setattr(jax, "device_put", flaky_put)
+        rng = np.random.default_rng(0)
+        s = rng.integers(-1000, 1000, (4 * 4096, 1)).astype(np.int32)
+        with pytest.raises(RuntimeError, match="relay died"):
+            device_encoder.encode_flac_device(
+                s, 44100, 16, 5, plan_chunk_frames=1, compute_md5=False
+            )

@@ -218,6 +218,49 @@ def test_read_many_order_and_fallback_200():
     assert rf2.file_size == len(payload)  # size learned from the 200 body
 
 
+def test_read_many_200_server_downloads_body_once():
+    """Against a Range-ignoring server, a multi-range read_many must probe
+    with ONE request and serve the rest from the cached body — not fan N
+    concurrent full-object downloads (review finding, round 3)."""
+    from flac_raster_tpu.io.remote import RemoteFile
+
+    payload = bytes(range(256)) * 8
+    session = MagicMock()
+    gets = []
+
+    def fake_get(url, headers=None, timeout=None):
+        gets.append(headers)
+        m = MagicMock()
+        m.status_code = 200  # server ignores Range entirely
+        m.content = payload
+        return m
+
+    session.get.side_effect = fake_get
+    rf = RemoteFile("https://example.com/x.bin", session=session)
+    ranges = [(512, 515), (0, 3), (100, 101), (2000, 2001)]
+    got = rf.read_many(ranges)
+    assert got == [payload[s : e + 1] for s, e in ranges]
+    assert len(gets) == 1, f"expected 1 probe GET, saw {len(gets)}"
+    # later calls never touch the network again
+    assert rf.read_many([(5, 6), (7, 8)]) == [payload[5:7], payload[7:9]]
+    assert len(gets) == 1
+
+
+def test_read_many_206_probe_marks_server_trusted():
+    """The first multi-range call probes once; a 206 marks range support
+    observed so later calls skip the probe and fan out fully."""
+    from flac_raster_tpu.io.remote import RemoteFile
+
+    payload = bytes(range(256)) * 4
+    session = _fake_session(payload)
+    rf = RemoteFile("https://example.com/x.bin", session=session)
+    assert rf._supports_range is not True
+    ranges = [(0, 3), (512, 515), (40, 44)]
+    assert rf.read_many(ranges) == [payload[s : e + 1] for s, e in ranges]
+    assert rf._supports_range is True  # observed 206, probe retired
+    assert session.get.call_count == len(ranges)  # no extra requests
+
+
 def test_obstore_branch_with_injected_store():
     """Credentialed cloud path: an injected object store (obstore-compatible)
     serves get_range / get_ranges / head — exercises the branch the image
