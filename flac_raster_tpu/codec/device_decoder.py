@@ -69,22 +69,21 @@ def _gather_windows_jit(maxW: int):
     return gather
 
 
-def _body_words_jit():
-    import jax
-    import jax.numpy as jnp
+def _body_words_host(body: np.ndarray) -> np.ndarray:
+    """Big-endian 32-bit words of the padded byte body, built ON HOST.
 
-    @functools.partial(jax.jit, static_argnames=())
-    def to_words(body_u8):
-        wb = body_u8.reshape(-1, 4).astype(jnp.uint32)
-        return (wb[:, 0] << 24) | (wb[:, 1] << 16) | (wb[:, 2] << 8) | wb[:, 3]
-
-    return to_words
+    This replaces an in-graph ``reshape(-1, 4)`` + byte-combine: TPU
+    (8, 128) tiling pads a 4-wide minor dim to 128 lanes, a 32x memory
+    blow-up -- a 256 MB file failed compile with a 32 GB allocation and
+    even a 64 MB body transiently held 8 GB of HBM.  One numpy byteswap
+    pass is memory-bound on host and uploads the same number of bytes.
+    """
+    return body.view(">u4").astype(np.uint32)
 
 
 # one jitted gather per window width (module-level cache: re-calling
 # decode_flac_device must not re-trace)
 _GATHER_CACHE: dict[int, object] = {}
-_BODY_WORDS = None
 
 
 def _host_fallback(
@@ -248,10 +247,7 @@ def decode_flac_device(
         body_len = (body_len * 3) // 4  # stays a multiple of 4*_WROW (>= 192)
     body = np.zeros(body_len, np.uint8)
     body[: len(arr_eff)] = arr_eff
-    global _BODY_WORDS
-    if _BODY_WORDS is None:
-        _BODY_WORDS = _body_words_jit()
-    body_w = _BODY_WORDS(jnp.asarray(body))
+    body_w = jnp.asarray(_body_words_host(body))
 
     # bucket the window width so compiled shapes stay O(log) across files
     # (power-of-two >= _WROW keeps it row-divisible)

@@ -112,10 +112,10 @@ def main() -> int:
     body = np.zeros(body_len, np.uint8)
     body[: len(arr)] = arr
 
-    dt = timeit(lambda: sync(jnp.asarray(body)))
+    words_host = drv._body_words_host(body)
+    dt = timeit(lambda: sync(jnp.asarray(words_host)))
     print(f"upload body ({body_len/1e6:.1f} MB)     : {dt*1e3:8.1f} ms  {raw_mb/dt:7.1f} MB/s raw-equiv")
-    to_words = drv._body_words_jit()
-    body_w = to_words(jnp.asarray(body))
+    body_w = jnp.asarray(words_host)
     sync(body_w)
 
     B = min(chunk, full_frames)
