@@ -285,23 +285,31 @@ class RemoteFile:
         if self._store is None:
             self._http()  # build the session once, outside the worker threads
             body = self._body_cache
-            if body is None and self._supports_range is not True:
-                # Probe with ONE range before fanning out: a Range-ignoring
-                # server answers any ranged GET with the full body, and N
-                # blind concurrent workers would each download the whole
-                # object before the cache exists.  A 206 marks the server
-                # trustworthy (above) so later calls skip the probe.
-                first = self.read_range(*ranges[0])
-                body = self._body_cache
-                if body is None:
+            if body is not None:  # full body already cached: no network
+                return [body[s : e + 1] for s, e in ranges]
+            if self._supports_range is not True:
+                # Decide with a cheap HEAD before fanning out: against a
+                # server that does NOT advertise ranges, N blind workers
+                # would each download the whole object (200 fallback)
+                # before the cache exists.  Advertised support keeps the
+                # full fan-out (every range in flight at once); otherwise
+                # probe with ONE range -- a 206 marks the server trusted
+                # (read_range above), a 200 fills the body cache.
+                try:
+                    advertised = self.supports_range
+                except (OSError, ValueError) as exc:  # HEAD unsupported/failed
+                    logger.debug("HEAD before fan-out failed: %s", exc)
+                    advertised = False
+                if not advertised:
+                    first = self.read_range(*ranges[0])
+                    body = self._body_cache
+                    if body is not None:
+                        return [first] + [body[s : e + 1] for s, e in ranges[1:]]
                     futures = [
                         _shared_executor().submit(self.read_range, s, e)
                         for s, e in ranges[1:]
                     ]
                     return [first] + [f.result() for f in futures]
-                return [first] + [body[s : e + 1] for s, e in ranges[1:]]
-            if body is not None:  # full body already cached: no network
-                return [body[s : e + 1] for s, e in ranges]
         futures = [
             _shared_executor().submit(self.read_range, s, e) for s, e in ranges
         ]

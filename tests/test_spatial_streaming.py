@@ -219,9 +219,10 @@ def test_read_many_order_and_fallback_200():
 
 
 def test_read_many_200_server_downloads_body_once():
-    """Against a Range-ignoring server, a multi-range read_many must probe
-    with ONE request and serve the rest from the cached body — not fan N
-    concurrent full-object downloads (review finding, round 3)."""
+    """Against a server that does not advertise ranges (and ignores them),
+    a multi-range read_many must probe with ONE request and serve the rest
+    from the cached body — not fan N concurrent full-object downloads
+    (review finding, round 3)."""
     from flac_raster_tpu.io.remote import RemoteFile
 
     payload = bytes(range(256)) * 8
@@ -235,7 +236,14 @@ def test_read_many_200_server_downloads_body_once():
         m.content = payload
         return m
 
+    def fake_head(url, timeout=None):
+        m = MagicMock()
+        m.headers = {"content-length": str(len(payload))}  # no accept-ranges
+        m.raise_for_status = lambda: None
+        return m
+
     session.get.side_effect = fake_get
+    session.head.side_effect = fake_head
     rf = RemoteFile("https://example.com/x.bin", session=session)
     ranges = [(512, 515), (0, 3), (100, 101), (2000, 2001)]
     got = rf.read_many(ranges)
@@ -246,9 +254,9 @@ def test_read_many_200_server_downloads_body_once():
     assert len(gets) == 1
 
 
-def test_read_many_206_probe_marks_server_trusted():
-    """The first multi-range call probes once; a 206 marks range support
-    observed so later calls skip the probe and fan out fully."""
+def test_read_many_advertised_ranges_fan_out_fully():
+    """A server advertising Accept-Ranges gets the full concurrent fan-out
+    (no serialized probe), and the 206s mark range support observed."""
     from flac_raster_tpu.io.remote import RemoteFile
 
     payload = bytes(range(256)) * 4
@@ -257,8 +265,8 @@ def test_read_many_206_probe_marks_server_trusted():
     assert rf._supports_range is not True
     ranges = [(0, 3), (512, 515), (40, 44)]
     assert rf.read_many(ranges) == [payload[s : e + 1] for s, e in ranges]
-    assert rf._supports_range is True  # observed 206, probe retired
-    assert session.get.call_count == len(ranges)  # no extra requests
+    assert rf._supports_range is True
+    assert session.get.call_count == len(ranges)  # no extra range requests
 
 
 def test_obstore_branch_with_injected_store():
