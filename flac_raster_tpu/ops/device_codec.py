@@ -198,10 +198,14 @@ def _rice_search(z, order, blocksize, max_po, idx):
     ks = np.arange(KMAX + 1, dtype=np.int32)
     # cost[b, k, p] = sum over partition of min(z >> k, QCLAMP) + cnt*(k+1)
     if _use_pallas():
-        # one-pass Pallas kernel: block loaded into VMEM once, all 21
-        # shifted sums + maxima computed from registers
-        from .pallas_kernels import rice_cost_sums
+        # one-pass Pallas kernel: block loaded into VMEM once, the cost
+        # table reconstructed from 6 reductions via the 5-bit-quotient
+        # recurrence.  Its sums equal the clamped jnp ones below ONLY on
+        # entries the vmask keeps -- exactness of the reconstruction needs
+        # the 32-bit token cap (see pallas_kernels module docstring).
+        from .pallas_kernels import TOKEN_CAP, rice_cost_sums
 
+        assert MAX_RICE_TOKEN_BITS == TOKEN_CAP
         cost, zmax = rice_cost_sums(
             z, parts=parts, interpret=FORCE_PALLAS_INTERPRET
         )

@@ -245,17 +245,60 @@ class TestNativeRuntime:
 
 class TestPallasKernels:
     def test_rice_cost_kernel_parity(self, rng):
-        """Pallas kernel (interpret mode) == numpy reference, all k."""
-        from flac_raster_tpu.ops.pallas_kernels import KMAX_KERNEL, rice_cost_sums
+        """Pallas kernel (interpret mode) == numpy reference.
+
+        The kernel reconstructs sums from the 5-bit-quotient recurrence:
+        exact sum(z >> k) for k >= k0 = max(0, bitlen(zmax) - 5), zero
+        below.  Entries below k0 are provably invalid under the 32-bit
+        token cap, so the planner's vmask never reads them; assert both
+        the kernel's own contract and post-mask equality with the clamped
+        jnp-fallback oracle (the byte-identity condition)."""
+        from flac_raster_tpu.ops.pallas_kernels import (
+            KMAX_KERNEL, TOKEN_CAP, rice_cost_sums,
+        )
 
         z = rng.integers(0, 1 << 20, (16, N)).astype(np.uint32)
+        # include all-zero and near-cap-wide partitions
+        z[0] = 0
+        z[1, :64] = np.uint32(0xFFFFFFFF)
         sums, zmax = rice_cost_sums(jnp.asarray(z), interpret=True)
         sums, zmax = np.asarray(sums), np.asarray(zmax)
         zp = z.reshape(16, 64, 64)
         assert np.array_equal(zmax, zp.max(-1))
+        k0 = sum(
+            (zmax >= np.uint64(1 << j)).astype(np.int32) for j in range(5, 32)
+        )
         for k in range(KMAX_KERNEL + 1):
-            ref = np.minimum(zp >> np.uint32(k), 1 << 17).astype(np.int64).sum(-1)
+            exact = (zp >> np.uint32(k)).astype(np.int64).sum(-1)
+            ref = np.where(k >= k0, exact, 0)
             assert np.array_equal(sums[:, k, :], ref), k
+            # post-mask equality with the clamped fallback sums
+            valid = (zmax >> np.uint32(k)).astype(np.int64) + 1 + k <= TOKEN_CAP
+            clamped = np.minimum(zp >> np.uint32(k), 1 << 17).astype(np.int64).sum(-1)
+            assert np.array_equal(sums[:, k, :][valid], clamped[valid]), k
+
+    def test_gather_windows_dma_values(self, rng):
+        """DMA window gather (interpret mode) == host strided slices."""
+        from flac_raster_tpu.ops.pallas_gather import (
+            ALIGN_ROWS, ROW_WORDS, gather_windows_dma,
+        )
+
+        R, B, OUT = 256, 7, 16
+        body = rng.integers(0, 1 << 32, (R, ROW_WORDS), dtype=np.uint64)
+        body = body.astype(np.uint32)
+        row0 = (
+            rng.integers(0, (R - OUT) // ALIGN_ROWS, B) * ALIGN_ROWS
+        ).astype(np.int32)
+        row0[0] = 0                      # include the first window
+        row0[-1] = R - OUT               # and the last in-bounds one
+        win = np.asarray(
+            gather_windows_dma(
+                jnp.asarray(body), jnp.asarray(row0), out_rows=OUT,
+                interpret=True,
+            )
+        )
+        exp = np.stack([body[r : r + OUT].ravel() for r in row0])
+        assert np.array_equal(win, exp)
 
     def test_planner_identical_with_pallas_path(self, mixed_blocks):
         from flac_raster_tpu.ops import device_codec as dc

@@ -186,6 +186,38 @@ def main() -> int:
         print(f"pallas DMA windows        : {dt*1e3:8.1f} ms  {mb/dt:7.1f} MB/s ({mb:.1f} MB)")
     except Exception as e:  # noqa: BLE001
         print(f"pallas DMA windows        : FAILED {type(e).__name__}: {e}")
+
+    # 2-D (rows, 128) DMA gather -- the production decode-window design
+    # (ops/pallas_gather): 8-row-aligned starts satisfy Mosaic's dynamic
+    # sublane-slice tiling rule that killed the 1-D version above
+    from flac_raster_tpu.ops.pallas_gather import (
+        ALIGN_ROWS, ROW_WORDS, gather_windows_dma,
+    )
+
+    OUT_ROWS = 40  # 5120-word windows: 4096-word payload + alignment slack
+    R = (1 << 22) // ROW_WORDS
+    body2d = jnp.asarray(
+        rng.integers(0, 1 << 31, (R, ROW_WORDS), dtype=np.int64).astype(np.uint32)
+    )
+    row0_h = np.sort(
+        rng.integers(0, (R - OUT_ROWS) // ALIGN_ROWS, B)
+    ).astype(np.int32) * ALIGN_ROWS
+    row0 = jnp.asarray(row0_h)
+    try:
+        win = gather_windows_dma(body2d, row0, out_rows=OUT_ROWS)
+        sync(win)
+        # value check on one lane against a host slice
+        got = np.asarray(win[7]).reshape(OUT_ROWS, ROW_WORDS)
+        exp = np.asarray(body2d[row0_h[7] : row0_h[7] + OUT_ROWS])
+        ok = "values OK" if np.array_equal(got, exp) else "VALUES WRONG"
+        dt = timeit(lambda: sync(gather_windows_dma(body2d, row0, out_rows=OUT_ROWS)))
+        mb = B * OUT_ROWS * ROW_WORDS * 4 / 1e6
+        print(
+            f"pallas DMA 2-D (8-row)    : {dt*1e3:8.1f} ms  {mb/dt:7.1f} MB/s "
+            f"({mb:.1f} MB)  {ok}"
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"pallas DMA 2-D (8-row)    : FAILED {type(e).__name__}: {e}")
     return 0
 
 

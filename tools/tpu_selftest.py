@@ -57,16 +57,21 @@ def main() -> int:
         )(jnp.asarray(z))
     else:
         cost_k, zmax_k = rice_cost_sums(jnp.asarray(z), parts=parts, interpret=True)
-    # host oracle
+    # host oracle: exact sum(z >> k) for k >= k0 = max(0, bitlen(zmax)-5),
+    # zero below (the kernel's recurrence contract); also check post-mask
+    # equality with the clamped jnp-fallback sums -- the byte-identity
+    # condition (see ops/pallas_kernels module docstring)
     zr = z.reshape(64, parts, N // parts)
     zmax_h = zr.max(axis=-1)
-    cost_h = np.stack(
-        [np.minimum(zr >> np.uint32(k), np.uint32(dc._QCLAMP)).astype(np.int64).sum(-1)
-         for k in range(dc.KMAX + 1)], axis=1,
-    )
-    ok1 = np.array_equal(np.asarray(cost_k), cost_h) and np.array_equal(
-        np.asarray(zmax_k), zmax_h
-    )
+    k0_h = sum((zmax_h >= np.uint64(1 << j)).astype(np.int32) for j in range(5, 32))
+    ok1 = np.array_equal(np.asarray(zmax_k), zmax_h)
+    cost_k = np.asarray(cost_k)
+    for k in range(dc.KMAX + 1):
+        exact = (zr >> np.uint32(k)).astype(np.int64).sum(-1)
+        ok1 = ok1 and np.array_equal(cost_k[:, k, :], np.where(k >= k0_h, exact, 0))
+        valid = (zmax_h >> np.uint32(k)).astype(np.int64) + 1 + k <= dc.MAX_RICE_TOKEN_BITS
+        clamped = np.minimum(zr >> np.uint32(k), np.uint32(dc._QCLAMP)).astype(np.int64).sum(-1)
+        ok1 = ok1 and np.array_equal(cost_k[:, k, :][valid], clamped[valid])
     print(f"1. pallas rice_cost_sums vs host oracle: {'OK' if ok1 else 'FAIL'}")
 
     # --- 2. plan decisions: device vs host planner ----------------------
