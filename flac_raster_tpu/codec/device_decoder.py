@@ -233,26 +233,67 @@ def decode_flac_device(
 
     maxW = _WROW + (max_size + 3) // 4 + _WIN_SLACK_WORDS
 
+    # Window-gather mode: the Pallas DMA copy (ops/pallas_gather) moves each
+    # frame's window as ONE hardware DMA (~0.2 ms real per 512x20 KB windows
+    # on v5e) where the XLA row gather walks ~2.8 M rows/s (~23 ms for the
+    # same chunk, 70% of decode compute).  Mosaic's dynamic sublane-tiling
+    # rule forces (rows, 128)-word bodies and 8-row (4096 B) aligned window
+    # starts, so the DMA path carries up to 4 KB of leading slack per frame
+    # in ``bit_base`` -- extra HBM traffic, repaid ~100x by the copy speed.
+    # FRTPU_DECODE_DMA=1/0 forces it, "interpret" runs the kernel in
+    # interpreter mode (CPU-mesh e2e tests); unset = on for real TPUs only.
+    from ..ops.pallas_gather import ALIGN_ROWS, ROW_WORDS, gather_windows_dma
+
+    dma_env = os.environ.get("FRTPU_DECODE_DMA")
+    if dma_env is None:
+        use_dma = jax.default_backend() == "tpu"
+        dma_interpret = False
+    else:
+        use_dma = dma_env in ("1", "interpret")
+        dma_interpret = dma_env == "interpret"
+    align_bytes = 4 * ALIGN_ROWS * ROW_WORDS if use_dma else 4 * _WROW
+
     # pad the body upload to a {1, 1.5} x power-of-two bucket (bounds
     # compile count at O(log) shapes while capping upload overfetch at
     # ~33% -- the upload rides the ~20 MB/s tunnel here); zero slack so the
     # kernel's row-window reads past the last frame land on zeros, not
     # clip-duplicated stream bytes
-    byte_lo = int(offsets[rf0]) & ~(4 * _WROW - 1)  # row-aligned re-base
+    byte_lo = int(offsets[rf0]) & ~(align_bytes - 1)  # aligned re-base
     byte_hi = int(offsets[rf1])
     arr_eff = arr[byte_lo:byte_hi]
-    need = len(arr_eff) + 4 * _WIN_SLACK_WORDS
-    body_len = 1 << max(8, (need - 1).bit_length())
+    if use_dma:
+        # window height in 512 B rows: worst-case leading alignment slack
+        # (one full ALIGN_ROWS stripe) + the largest frame + scan lookahead,
+        # bucketed {1, 1.5} x pow2 (multiples of ALIGN_ROWS only)
+        win_words = ALIGN_ROWS * ROW_WORDS + (max_size + 3) // 4 + _WIN_SLACK_WORDS
+        rows = -(-win_words // ROW_WORDS)
+        out_rows = 1 << max(4, (rows - 1).bit_length())
+        if rows <= (out_rows * 3) // 4 and ((out_rows * 3) // 4) % ALIGN_ROWS == 0:
+            out_rows = (out_rows * 3) // 4
+        # body must cover the last window: R >= max(row0) + out_rows rows
+        # (gather_windows_dma does not clip -- the caller guarantees bounds)
+        last_rel = int(offsets[rf1_full - 1]) - byte_lo if rf1_full > rf0 else 0
+        need = max(
+            len(arr_eff) + 4 * _WIN_SLACK_WORDS,
+            (last_rel & ~(align_bytes - 1)) + out_rows * 4 * ROW_WORDS,
+        )
+    else:
+        need = len(arr_eff) + 4 * _WIN_SLACK_WORDS
+    body_len = 1 << max(12 if use_dma else 8, (need - 1).bit_length())
     if need <= (body_len * 3) // 4:
         body_len = (body_len * 3) // 4  # stays a multiple of 4*_WROW (>= 192)
     body = np.zeros(body_len, np.uint8)
     body[: len(arr_eff)] = arr_eff
-    body_w = jnp.asarray(_body_words_host(body))
-
-    # bucket the window width so compiled shapes stay O(log) across files
-    # (power-of-two >= _WROW keeps it row-divisible)
-    maxW = 1 << max(5, (maxW - 1).bit_length())
-    gather_windows = _GATHER_CACHE.setdefault(maxW, _gather_windows_jit(maxW))
+    body_w = _body_words_host(body)
+    if use_dma:
+        body_w = jnp.asarray(body_w.reshape(-1, ROW_WORDS))
+        gather_windows = None
+    else:
+        body_w = jnp.asarray(body_w)
+        # bucket the window width so compiled shapes stay O(log) across
+        # files (power-of-two >= _WROW keeps it row-divisible)
+        maxW = 1 << max(5, (maxW - 1).bit_length())
+        gather_windows = _GATHER_CACHE.setdefault(maxW, _gather_windows_jit(maxW))
 
     # per-frame subframe start offsets (relative to the frame start): col 0
     # is the header, later columns add the layout block's subframe lengths;
@@ -276,14 +317,21 @@ def decode_flac_device(
         Bp = 1 << max(0, (B - 1)).bit_length()
         offs = np.zeros(Bp, np.int64)
         offs[:B] = offsets[f0:f1] - byte_lo
-        bit_base = ((offs & (4 * _WROW - 1)) * 8).astype(np.int32)
+        bit_base = ((offs & (align_bytes - 1)) * 8).astype(np.int32)
         sf = np.zeros((Bp, C), np.int32)
         sf[:B] = sf_rel[f0 - rf0 : f1 - rf0]
         sf[B:] = sf_rel[f0 - rf0]
         sf += bit_base[:, None]
-        windows = gather_windows(
-            body_w, jnp.asarray((offs >> (2 + 5)).astype(np.int32))
-        )
+        if use_dma:
+            row0 = ((offs >> 12) * ALIGN_ROWS).astype(np.int32)
+            windows = gather_windows_dma(
+                body_w, jnp.asarray(row0), out_rows=out_rows,
+                interpret=dma_interpret,
+            )
+        else:
+            windows = gather_windows(
+                body_w, jnp.asarray((offs >> (2 + 5)).astype(np.int32))
+            )
         # FRTPU_DECODE_ROW=0/1 forces the rice-scan gather mode (hardware
         # A/B, row-mode CI coverage); unset = backend-appropriate default
         rg_env = os.environ.get("FRTPU_DECODE_ROW")

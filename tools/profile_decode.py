@@ -144,6 +144,34 @@ def main() -> int:
     dt = timeit(lambda: sync(gather(body_w, row0)))
     print(f"gather windows (B={B}, {maxW} words): {dt*1e3:8.1f} ms/chunk x{n_chunks}")
 
+    # Pallas DMA window gather A/B (the TPU-default window source)
+    from flac_raster_tpu.ops import pallas_gather as pg
+
+    interp = jax.default_backend() == "cpu"
+    win_words = (
+        pg.ALIGN_ROWS * pg.ROW_WORDS
+        + (int(sizes[:full_frames].max()) + 3) // 4
+        + dd._WIN_SLACK_WORDS
+    )
+    out_rows = -(-win_words // pg.ROW_WORDS)
+    out_rows = (out_rows + pg.ALIGN_ROWS - 1) & ~(pg.ALIGN_ROWS - 1)
+    dma_len = max(
+        body_len, ((int(offs.max()) & ~4095) + out_rows * 4 * pg.ROW_WORDS)
+    )
+    dma_len = -(-dma_len // 4096) * 4096
+    body_d = np.zeros(dma_len, np.uint8)
+    body_d[: len(arr)] = arr
+    body2d = jnp.asarray(drv._body_words_host(body_d).reshape(-1, pg.ROW_WORDS))
+    sync(body2d)
+    row0_d = jnp.asarray(((offs >> 12) * pg.ALIGN_ROWS).astype(np.int32))
+    win_d = pg.gather_windows_dma(body2d, row0_d, out_rows=out_rows, interpret=interp)
+    sync(win_d)
+    dt = timeit(lambda: sync(
+        pg.gather_windows_dma(body2d, row0_d, out_rows=out_rows, interpret=interp)
+    ))
+    print(f"gather windows DMA (B={B}, {out_rows * pg.ROW_WORDS} words): "
+          f"{dt*1e3:8.1f} ms/chunk x{n_chunks}")
+
     # full frame decode kernel: row-gather rice scan vs element-gather A/B
     chunk_mb = B * N * C * 2 / 1e6
     out = None

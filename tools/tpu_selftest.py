@@ -127,15 +127,20 @@ def main() -> int:
     blob = encode_flac_fast(s2, 44100, 16, 5)
     host = decode_flac(blob, verify_crc=True)
     ok4 = True
-    for mode in ("1", "0"):  # row-sliced gather AND element-gather modes
-        _os.environ["FRTPU_DECODE_ROW"] = mode
+    # window source (Pallas DMA vs XLA row gather) x rice-scan gather mode
+    for label, env in (
+        ("dma+row", {"FRTPU_DECODE_DMA": "1", "FRTPU_DECODE_ROW": "1"}),
+        ("xla+row", {"FRTPU_DECODE_DMA": "0", "FRTPU_DECODE_ROW": "1"}),
+        ("xla+elem", {"FRTPU_DECODE_DMA": "0", "FRTPU_DECODE_ROW": "0"}),
+    ):
+        _os.environ.update(env)
         try:
             dev = decode_flac_device(blob, verify_crc=True)
         finally:
-            _os.environ.pop("FRTPU_DECODE_ROW", None)
+            for k in env:
+                _os.environ.pop(k, None)
         okm = np.array_equal(np.asarray(dev.samples), host.samples)
         ok4 = ok4 and okm
-        label = "row" if mode == "1" else "elem"
         print(f"4. decode_flac_device ({label}) == host decoder samples: "
               f"{'OK' if okm else 'FAIL'}")
 
