@@ -74,8 +74,12 @@ _IIR_UNROLL = int(__import__("os").environ.get("FRTPU_IIR_UNROLL", "8"))
 # registers with a select chain.  A 2x32-word window leaves 33 usable words
 # after worst-case alignment slack -> 27 codes per step vs 10, so gather
 # rows drop ~8.7x (2/27 vs 13/10 per code) and scan depth 2.7x.
+# FRTPU_DECODE_NROW widens the per-step window (3 -> 55 codes/step, 4 ->
+# 83): scan depth shrinks ~NROW-fold at ~NROW-fold more realign/shift work
+# per step -- a win iff the scan is step-overhead-bound (sweep on hardware;
+# trace-time constant, exact same output values in every mode).
 _RW = 32
-_NROW = 2
+_NROW = int(__import__("os").environ.get("FRTPU_DECODE_NROW", "2"))
 _ROW_WORDS = _NROW * _RW                       # 64
 _ALIGN_WORDS = _ROW_WORDS - (_RW - 1)          # 33 usable aligned words
 _GROUP_ROW = (_ALIGN_WORDS * 32 - 31) // 37    # 27
