@@ -68,25 +68,27 @@ _GROUP = (32 * _TW - 31) // 37
 # hardware via the env knob (trace-time constant; exact same output values)
 _IIR_UNROLL = int(__import__("os").environ.get("FRTPU_IIR_UNROLL", "8"))
 
-# Row-sliced gather mode (default): each scan step fetches _NROW aligned
+# Row-sliced gather mode (default): each scan step fetches ``nrow`` aligned
 # _RW-word ROWS per lane (XLA gather with slice_sizes=(1,_RW) -- priced per
 # row, not per element, which is the scarce resource) and realigns them in
 # registers with a select chain.  A 2x32-word window leaves 33 usable words
 # after worst-case alignment slack -> 27 codes per step vs 10, so gather
-# rows drop ~8.7x (2/27 vs 13/10 per code) and scan depth 2.7x.
-# FRTPU_DECODE_NROW widens the per-step window (3 -> 55 codes/step, 4 ->
-# 83): scan depth shrinks ~NROW-fold at ~NROW-fold more realign/shift work
-# per step -- a win iff the scan is step-overhead-bound (sweep on hardware;
-# trace-time constant, exact same output values in every mode).
+# rows drop ~8.7x (2/27 vs 13/10 per code) and scan depth 2.7x.  Widening
+# to 3 rows (55 codes/step) trades ~nrow-fold more realign/shift work per
+# step for ~nrow-fold fewer steps -- a measured win on v5e where the scan
+# is step-overhead-bound (64.8 vs 72.1 ms per 2048-frame chunk,
+# tools/sweep_decode.py 2026-08-18) and a loss at 4 rows (81.5 ms) and on
+# the CPU mesh (XLA:CPU compile time balloons with window width).  The
+# trace-time default is therefore 3 on TPU / 2 elsewhere;
+# FRTPU_DECODE_NROW=2/3/4 overrides for sweeps.  Exact same output values
+# in every mode.
 _RW = 32
-_NROW = int(__import__("os").environ.get("FRTPU_DECODE_NROW", "2"))
-_ROW_WORDS = _NROW * _RW                       # 64
-_ALIGN_WORDS = _ROW_WORDS - (_RW - 1)          # 33 usable aligned words
-_GROUP_ROW = (_ALIGN_WORDS * 32 - 31) // 37    # 27
+_NROW_MAX = 4
+_NROW_TPU_DEFAULT = 3
 # device_decoder must provision at least this much window slack past the
-# largest frame (row mode reads _ROW_WORDS words from the row containing
-# the current position)
-_WIN_SLACK_WORDS = _ROW_WORDS + 1
+# largest frame (row mode reads nrow * _RW words from the row containing
+# the current position; sized for the widest supported mode)
+_WIN_SLACK_WORDS = _NROW_MAX * _RW + 1
 
 _FIXED_COEFS = np.zeros((5, DEVICE_DECODE_MAX_ORDER), np.int32)
 _FIXED_COEFS[1, :1] = [1]
@@ -159,7 +161,7 @@ def _sext(v, nbits):
     return ((vv ^ sign).astype(jnp.int32)) - sign.astype(jnp.int32)
 
 
-def _parse_subframe(words, pos, eb, err, *, N, row_gather=True):
+def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
     """Parse + decode one subframe across all lanes.
 
     Args:
@@ -249,7 +251,7 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True):
     # flag (host-decoder fallback).
     #
     # Window fetch, two forms (static choice):
-    #   * row mode (default): _NROW aligned _RW-word rows per lane via a
+    #   * row mode (default): ``nrow`` aligned _RW-word rows per lane via a
     #     flat row take -- XLA prices this per ROW (slice_sizes=(1,_RW)),
     #     the scarce per-lane-gather budget drops ~8.7x per code, and the
     #     wider window serves 27 codes per step instead of 10;
@@ -257,15 +259,18 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True):
     #     (tools/profile_decode.py) and for word counts not divisible by
     #     _RW.
     W = words.shape[1]
-    row_mode = row_gather and (W % _RW == 0) and (W // _RW >= _NROW)
-    group = _GROUP_ROW if row_mode else _GROUP
+    row_mode = row_gather and (W % _RW == 0) and (W // _RW >= nrow)
+    row_words = nrow * _RW
+    align_words = row_words - (_RW - 1)
+    group_row = (align_words * 32 - 31) // 37
+    group = group_row if row_mode else _GROUP
     iota_tw = jnp.arange(_TW, dtype=jnp.int32)
     zero_w = jnp.zeros((B,), jnp.uint32)
     n_steps = -(-N // group)
     if row_mode:
         m_rows = words.reshape(B * (W // _RW), _RW)
         lane_rows = jnp.arange(B, dtype=jnp.int32) * (W // _RW)
-        iota_nrow = jnp.arange(_NROW, dtype=jnp.int32)
+        iota_nrow = jnp.arange(nrow, dtype=jnp.int32)
 
     def _word_shl(arr, nwords):
         """Shift a (B, K) word array left by ``nwords`` columns, zero-fill."""
@@ -287,13 +292,13 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True):
         cpos, k, cerr = carry
         if row_mode:
             wi = cpos >> 5
-            r0 = jnp.clip(wi // _RW, 0, W // _RW - _NROW)
+            r0 = jnp.clip(wi // _RW, 0, W // _RW - nrow)
             rows = jnp.take(
                 m_rows,
                 (r0[:, None] + iota_nrow[None, :]) + lane_rows[:, None],
                 axis=0,
-            )                                   # (B, _NROW, _RW)
-            wa = rows.reshape(B, _ROW_WORDS)
+            )                                   # (B, nrow, _RW)
+            wa = rows.reshape(B, row_words)
             # realign so column 0 holds the word containing cpos: log2(_RW)
             # staged whole-array shifts (dense VPU work; a per-lane gather
             # here would defeat the row fetch) ...
@@ -309,7 +314,7 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True):
             wa = (wa << sh) | (
                 (_word_shl(wa, 1) >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)
             )
-            wa = wa[:, : _ALIGN_WORDS + 1]
+            wa = wa[:, : align_words + 1]
         else:
             wi = jnp.clip(cpos >> 5, 0, W - _TW)
             win = jnp.take_along_axis(
@@ -447,10 +452,42 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True):
     return sig, end, err
 
 
-@functools.partial(jax.jit, static_argnames=("C", "bps", "N", "row_gather"))
 def decode_frames_device(
     windows, bit_base, sf_start, *, C: int, bps: int, N: int,
-    row_gather: "bool | None" = None,
+    row_gather: "bool | None" = None, nrow: "int | None" = None,
+):
+    """Resolve the trace-time mode knobs, then dispatch to the jitted body.
+
+    ``nrow`` (rice-scan row window width) defaults to the hardware-swept
+    optimum per backend; FRTPU_DECODE_NROW overrides.  Resolution happens
+    OUTSIDE the jit so the cache is keyed on the concrete values (an env
+    read inside the traced body would go stale when the env changes).
+    """
+    if nrow is None:
+        env = __import__("os").environ.get("FRTPU_DECODE_NROW")
+        if env is not None:
+            nrow = int(env)
+        else:
+            nrow = _NROW_TPU_DEFAULT if jax.default_backend() != "cpu" else 2
+    if not 2 <= nrow <= _NROW_MAX:
+        raise ValueError(f"nrow must be in [2, {_NROW_MAX}], got {nrow}")
+    if row_gather is None:
+        # row mode trades per-lane gathers (the TPU-scarce resource) for
+        # dense realign/shift work -- a net win on TPU, a net loss where
+        # gathers are cheap (the CPU test mesh)
+        row_gather = jax.default_backend() != "cpu"
+    return _decode_frames_device(
+        windows, bit_base, sf_start, C=C, bps=bps, N=N,
+        row_gather=row_gather, nrow=nrow,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("C", "bps", "N", "row_gather", "nrow")
+)
+def _decode_frames_device(
+    windows, bit_base, sf_start, *, C: int, bps: int, N: int,
+    row_gather: bool, nrow: int,
 ):
     """Decode a batch of full FLAC frames on device.
 
@@ -488,11 +525,6 @@ def decode_frames_device(
     else:
         words = windows
     B = words.shape[0]
-    if row_gather is None:
-        # row mode trades per-lane gathers (the TPU-scarce resource) for
-        # dense realign/shift work -- a net win on TPU, a net loss where
-        # gathers are cheap (the CPU test mesh)
-        row_gather = jax.default_backend() != "cpu"
 
     hdr32 = _read32(words, bit_base)
     chan_code = ((hdr32 >> jnp.uint32(4)) & jnp.uint32(0xF)).astype(jnp.int32)
@@ -508,7 +540,8 @@ def decode_frames_device(
 
     if C == 1:
         sig, end, err = _parse_subframe(
-            words, sf_start[:, 0], ch_bps[0], err, N=N, row_gather=row_gather
+            words, sf_start[:, 0], ch_bps[0], err, N=N,
+            row_gather=row_gather, nrow=nrow,
         )
         return sig[:, :, None], err
 
@@ -516,7 +549,8 @@ def decode_frames_device(
     posC = sf_start.T.reshape(C * B)
     ebC = ch_bps.reshape(C * B)
     sigC, endC, errC = _parse_subframe(
-        wordsC, posC, ebC, jnp.tile(err, C), N=N, row_gather=row_gather
+        wordsC, posC, ebC, jnp.tile(err, C), N=N,
+        row_gather=row_gather, nrow=nrow,
     )
     sigs = sigC.reshape(C, B, N)
     err = errC.reshape(C, B).any(axis=0)
