@@ -14,6 +14,7 @@ lossless modes, device-batched tile engine).
 from .codec.decoder import decode_flac, decode_flac_range
 from .codec.device_encoder import encode_flac_device
 from .codec.device_decoder import decode_flac_device
+from .parallel.decode_mesh import decode_flac_batch_mesh
 from .codec.encoder import encode_flac
 from .codec.fast_encoder import encode_flac_batch, encode_flac_fast
 from .compare import compare_tiffs, display_comparison_table
@@ -64,6 +65,7 @@ __all__ = [
     "decode_flac",
     "decode_flac_range",
     "decode_flac_device",
+    "decode_flac_batch_mesh",
     # Comparison utilities
     "compare_tiffs",
     "display_comparison_table",

@@ -1,3 +1,4 @@
+from .decode_mesh import decode_flac_batch_mesh
 from .mesh import Mesh, NamedSharding, P, tile_mesh, tile_sharding
 from .tile_engine import frame_bytes_from_subframe_bits, make_tile_step
 
@@ -9,4 +10,5 @@ __all__ = [
     "tile_sharding",
     "make_tile_step",
     "frame_bytes_from_subframe_bits",
+    "decode_flac_batch_mesh",
 ]

@@ -161,3 +161,66 @@ class TestMeshEmit:
         auto = encode_flac_batch(batch, 44100, 16, 5, blocksize=N)
         host = encode_flac_batch(batch, 44100, 16, 5, blocksize=N, use_mesh=False)
         assert all(a == b for a, b in zip(auto, host))
+
+
+class TestMeshDecode:
+    """decode_flac_batch_mesh: the decode mirror of the tile engine --
+    sharded over (tiles, blocks), values bit-identical to the host decoder,
+    ragged tiles and fallbacks included."""
+
+    @pytest.mark.parametrize("blocks_axis", [1, 2])
+    def test_ragged_batch_matches_host(self, blocks_axis):
+        from flac_raster_tpu.codec.fast_encoder import encode_flac_fast
+        from flac_raster_tpu.parallel import decode_flac_batch_mesh
+
+        rng = np.random.default_rng(21)
+        blobs, refs = [], []
+        for t in range(10):  # ragged lengths, tails on some tiles
+            n = N * (2 + t % 3) + (t % 4) * 17
+            x = np.cumsum(rng.integers(-30, 31, (n, 2)), axis=0).astype(np.int32)
+            blobs.append(encode_flac_fast(x, 44100, 16, 5, blocksize=N))
+            refs.append(x)
+        mesh = tile_mesh(8, blocks_axis=blocks_axis)
+        outs = decode_flac_batch_mesh(blobs, mesh=mesh)
+        for o, r in zip(outs, refs):
+            assert isinstance(o.samples, jax.Array)
+            assert np.array_equal(np.asarray(o.samples), r)
+
+    def test_mono_and_foreign_fallback(self):
+        """A mixed batch (mono tiles + a foreign scalar-encoder stream
+        without matching shape class) still decodes every input exactly."""
+        from flac_raster_tpu.codec.encoder import encode_flac as encode_scalar
+        from flac_raster_tpu.codec.fast_encoder import encode_flac_fast
+        from flac_raster_tpu.parallel import decode_flac_batch_mesh
+
+        rng = np.random.default_rng(22)
+        xs = [
+            np.cumsum(rng.integers(-9, 10, (N * 2 + 31, 1)), axis=0).astype(np.int32)
+            for _ in range(3)
+        ]
+        blobs = [encode_flac_fast(x, 44100, 16, 5, blocksize=N) for x in xs]
+        # different blocksize -> second shape class -> per-tile fallback
+        y = np.cumsum(rng.integers(-9, 10, (N * 4, 1)), axis=0).astype(np.int32)
+        blobs.append(encode_scalar(y, 44100, 16, 5, blocksize=2 * N))
+        xs.append(y)
+        outs = decode_flac_batch_mesh(blobs, mesh=tile_mesh(8))
+        for o, r in zip(outs, xs):
+            assert np.array_equal(np.asarray(o.samples), r)
+
+    def test_crc_error_raises(self):
+        from flac_raster_tpu.codec.fast_encoder import encode_flac_fast
+        from flac_raster_tpu.models.flac_format import parse_flac_metadata
+        from flac_raster_tpu.parallel import decode_flac_batch_mesh
+        from flac_raster_tpu import native
+
+        if not native.available():
+            pytest.skip("native CRC not built")
+        rng = np.random.default_rng(23)
+        x = np.cumsum(rng.integers(-20, 21, (N * 3, 2)), axis=0).astype(np.int32)
+        blob = bytearray(encode_flac_fast(x, 44100, 16, 5, blocksize=N))
+        _, _, frame_start = parse_flac_metadata(bytes(blob))
+        blob[frame_start + 40] ^= 0x10
+        with pytest.raises(ValueError, match="CRC-16"):
+            decode_flac_batch_mesh(
+                [bytes(blob)], mesh=tile_mesh(8)
+            )
