@@ -428,6 +428,76 @@ class RasterFLACConverter:
             data = flat.reshape(n_rows, width)[None]
         return np.ascontiguousarray(data), meta
 
+    def decode_bytes_device(
+        self,
+        blob: bytes,
+        sidecar_path: Path | None = None,
+        override_dims: tuple[int, int] | None = None,
+    ):
+        """decode_bytes, but the raster never visits the host.
+
+        The compressed bytes decode through codec/device_decoder and the
+        inverse normalization applies on device (ops/device_normalize), so
+        the returned array is a device-resident jax.Array of the raster's
+        original dtype in (bands, h, w) layout -- the end-to-end TPU-ingest
+        path (the reference host-decodes via libFLAC then denormalizes in
+        numpy, ``converter.py:181-229``).  Lossless-mode outputs are
+        bit-exact vs decode_bytes (tested); minmax computes in float32 on
+        device (see ops/device_normalize).  File classes with float64
+        output fall back to decode_bytes and return the exact HOST array
+        (TPUs carry no f64; device_put would silently downcast).
+        """
+        from .codec.device_decoder import decode_flac_device
+        from .ops.device_normalize import (
+            denormalize_device,
+            device_denorm_supported,
+        )
+
+        decoded = decode_flac_device(blob, verify_crc=False)
+        meta = self._load_meta(decoded.comments, sidecar_path)
+        if meta is None:
+            raise ValueError("no geospatial metadata found in FLAC file or sidecar")
+        params = meta.get("normalization")
+        if not device_denorm_supported(params):
+            # float64 outputs: TPUs carry no f64 and device_put under the
+            # default x64-off config would silently downcast -- return the
+            # exact host array instead of a lossy device one
+            return self.decode_bytes(blob, sidecar_path, override_dims)
+
+        width, height, count = meta["width"], meta["height"], meta["count"]
+        if override_dims is not None:
+            width, height = override_dims
+            meta = dict(meta, width=width, height=height)
+        bps = decoded.streaminfo.bits_per_sample
+        if params is None:
+            # reference-produced file (converter.py:221-229 semantics)
+            ref_bps = 16 if bps == 16 else 24
+            params = NormalizationParams(
+                data_min=meta["data_min"], data_max=meta["data_max"],
+                original_dtype=meta["dtype"], bits_per_sample=ref_bps,
+                scale_factor=meta.get(
+                    "scale_factor", 32767 if ref_bps == 16 else 8388607
+                ),
+            )
+            flat = denormalize_device(
+                decoded.samples, params, bits_per_sample=bps,
+                soundfile_compat=True,
+            )
+        else:
+            flat = denormalize_device(
+                decoded.samples, params, bits_per_sample=bps
+            )
+        if flat.shape[0] != width * height:
+            raise ValueError(
+                f"decoded sample count {flat.shape[0]} != width*height "
+                f"{width * height}"
+            )
+        if count > 1 or (flat.ndim > 1 and flat.shape[1] > 1):
+            data = flat.reshape(height, width, count).transpose(2, 0, 1)
+        else:
+            data = flat.reshape(height, width)[None]
+        return data, meta
+
     def decode_bytes(
         self,
         blob: bytes,

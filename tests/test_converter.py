@@ -130,3 +130,48 @@ def test_compare_tiffs(tmp_path, rng):
     assert not diff["arrays_equal"]
     assert len(diff["bands"]) == 3
     display_comparison_table(same)  # must not raise
+
+
+@pytest.mark.parametrize("dtype", ALL_DTYPES)
+def test_decode_bytes_device_lossless_exact(rng, dtype):
+    """End-to-end TPU ingest: device decode + device denormalization must be
+    bit-exact vs the host path for every lossless mode.  float64 outputs
+    fall back to the exact host array (no f64 on TPU)."""
+    import jax
+
+    conv = RasterFLACConverter(lossless=True)
+    if np.issubdtype(dtype, np.floating):
+        data = rng.normal(0, 1000, (2, 40, 56)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        data = rng.integers(
+            info.min, info.max, (2, 40, 56), endpoint=True
+        ).astype(dtype)
+    blob = conv.encode_array(data)
+    host, _ = conv.decode_bytes(blob)
+    dev, meta = conv.decode_bytes_device(blob)
+    got = np.asarray(dev)
+    assert got.dtype == host.dtype == dtype
+    assert np.array_equal(got, host)
+    if dtype != np.float64:
+        assert isinstance(dev, jax.Array)
+
+
+def test_decode_bytes_device_minmax(rng):
+    """Minmax (lossy) mode: device float32 inverse stays within one
+    quantization level of the host float64 inverse."""
+    conv = RasterFLACConverter(lossless=False)
+    data = rng.normal(0, 50, (1, 48, 48)).astype(np.float32)
+    blob = conv.encode_array(data)
+    host, _ = conv.decode_bytes(blob)
+    dev, _ = conv.decode_bytes_device(blob)
+    rng_ = float(host.max() - host.min())
+    assert np.max(np.abs(np.asarray(dev) - host)) <= rng_ / 65534 + 1e-6
+
+    datau = rng.integers(0, 10000, (1, 48, 48)).astype(np.uint16)
+    blob = conv.encode_array(datau)
+    hostu, _ = conv.decode_bytes(blob)
+    devu, _ = conv.decode_bytes_device(blob)
+    assert np.asarray(devu).dtype == np.uint16
+    assert np.max(np.abs(np.asarray(devu).astype(np.int64)
+                         - hostu.astype(np.int64))) <= 1
