@@ -448,22 +448,28 @@ class RasterFLACConverter:
         (TPUs carry no f64; device_put would silently downcast).
         """
         from .codec.device_decoder import decode_flac_device
-        from .ops.device_normalize import (
-            denormalize_device,
-            device_denorm_supported,
-        )
+        from .ops.device_normalize import device_denorm_supported
 
         decoded = decode_flac_device(blob, verify_crc=False)
         meta = self._load_meta(decoded.comments, sidecar_path)
         if meta is None:
             raise ValueError("no geospatial metadata found in FLAC file or sidecar")
-        params = meta.get("normalization")
-        if not device_denorm_supported(params):
+        if not device_denorm_supported(meta.get("normalization")):
             # float64 outputs: TPUs carry no f64 and device_put under the
             # default x64-off config would silently downcast -- return the
             # exact host array instead of a lossy device one
             return self.decode_bytes(blob, sidecar_path, override_dims)
+        return self._denormalize_device_stream(decoded, meta, override_dims)
 
+    def _denormalize_device_stream(self, decoded, meta, override_dims=None):
+        """Device denorm + band-major reshape of a device DecodedStream.
+
+        Shared tail of decode_bytes_device and the spatial streamer's
+        decode_bbox_device; caller has checked device_denorm_supported.
+        """
+        from .ops.device_normalize import denormalize_device
+
+        params = meta.get("normalization")
         width, height, count = meta["width"], meta["height"], meta["count"]
         if override_dims is not None:
             width, height = override_dims

@@ -420,6 +420,52 @@ class SpatialFLACStreamer:
             out.append((f, data))
         return out
 
+    def decode_bbox_device(self, bbox: Tuple[float, float, float, float]):
+        """decode_bbox, but tiles decode AND denormalize on device.
+
+        The intersecting tiles' byte ranges are fetched concurrently, then
+        decoded in ONE sharded mesh program when more than one device is
+        visible (parallel/decode_mesh; per-tile device decode otherwise)
+        and inverse-normalized in-graph (ops/device_normalize) -- the
+        rasters never visit the host.  Returns the same
+        ``list[(frame, (bands, h, w) array)]`` as decode_bbox with the
+        arrays device-resident (float64 rasters: exact host arrays).
+        """
+        from ..converter import RasterFLACConverter
+        from ..ops.device_normalize import device_denorm_supported
+
+        conv = RasterFLACConverter()
+        frames = self.spatial_index.query_bbox(bbox)
+        blobs = self._read_ranges(
+            [(f.byte_offset, f.byte_offset + f.byte_size - 1) for f in frames]
+        )
+        if not frames:
+            return []
+        import jax
+
+        if len(jax.local_devices()) > 1 and len(blobs) > 1:
+            from ..parallel.decode_mesh import decode_flac_batch_mesh
+
+            decs = decode_flac_batch_mesh(blobs, verify_crc=False)
+        else:
+            from ..codec.device_decoder import decode_flac_device
+
+            decs = [decode_flac_device(b, verify_crc=False) for b in blobs]
+        out = []
+        for f, dec, blob in zip(frames, decs, blobs):
+            meta = conv._load_meta(dec.comments, None)
+            if meta is None:
+                raise ValueError("tile carries no geospatial metadata")
+            dims = (f.window.width, f.window.height)
+            if not device_denorm_supported(meta.get("normalization")):
+                data, _ = conv.decode_bytes(blob, override_dims=dims)
+            else:
+                data, _ = conv._denormalize_device_stream(
+                    dec, meta, override_dims=dims
+                )
+            out.append((f, data))
+        return out
+
     def iter_bbox_to_device(self, bbox: Tuple[float, float, float, float]):
         """Stream intersecting tiles onto the default jax device.
 

@@ -388,3 +388,23 @@ def test_cloud_url_public_endpoint_fallback():
     rf = RemoteFile("s3://bkt/a/b.flac", session=session)
     assert rf.url == "https://bkt.s3.amazonaws.com/a/b.flac"
     assert rf.read_range(4, 7) == payload[4:8]
+
+
+def test_decode_bbox_device(spatial_flac):
+    """Device ingest for bbox queries: mesh-decoded (>1 device on the test
+    mesh), device-denormalized tiles must be bit-exact vs the host path
+    and device-resident."""
+    import jax
+
+    out, index, data = spatial_flac
+    st = SpatialFLACStreamer(out)
+    bbox = (-105.5, 40.2, -105.1, 40.5)  # whole raster -> every tile
+    host_tiles = st.decode_bbox(bbox)
+    dev_tiles = st.decode_bbox_device(bbox)
+    assert len(dev_tiles) == len(host_tiles) > 1
+    for (fh, th), (fd, td) in zip(host_tiles, dev_tiles):
+        assert fh is fd or fh.window == fd.window
+        assert isinstance(td, jax.Array)
+        got = np.asarray(td)
+        assert got.dtype == th.dtype
+        assert np.array_equal(got, th)
