@@ -142,8 +142,20 @@ def encode_flac_device(
             raw uint16/uint8/int16/int8 rasters directly and halve the
             host->device upload.  samples - zero_point must fit
             bits_per_sample.
+
+    Device-resident input: ``samples`` may be a jax.Array already in HBM
+    (e.g. a model output or a decode_bytes_device raster) -- the upload
+    pipeline is skipped entirely and chunks are device-side slices; only
+    compressed words cross the wire.  The range check pulls two scalars;
+    ``compute_md5=True`` pulls the whole tensor (the MD5 is a sequential
+    host hash), so TPU-egress callers pass ``compute_md5=False``
+    (converter.encode_array_device does).
     """
-    samples = np.asarray(samples)
+    import jax as _jax
+
+    dev_input = isinstance(samples, _jax.Array)
+    if not dev_input:
+        samples = np.asarray(samples)
     if samples.ndim == 1:
         samples = samples[:, None]
     n, channels = samples.shape
@@ -158,6 +170,8 @@ def encode_flac_device(
         or (blocksize & (blocksize - 1)) != 0
         or blocksize % 64 != 0
     ):
+        if dev_input:
+            samples = np.asarray(samples)  # honest host fallback
         host_samples = (
             samples.astype(np.int64) - zero_point if zero_point else samples
         )
@@ -185,8 +199,9 @@ def encode_flac_device(
             raise ValueError("dtype range exceeds bits_per_sample under zero_point")
     else:
         # match encode_flac_fast's drop-in contract: check the ACTUAL sample
-        # range, not the dtype's (int64/int16 data that fits bps is fine)
-        if smp.min() < lo or smp.max() > hi:
+        # range, not the dtype's (int64/int16 data that fits bps is fine);
+        # for device input this is a device reduce + two-scalar pull
+        if int(smp.min()) < lo or int(smp.max()) > hi:
             raise ValueError("samples exceed bits_per_sample range")
         if smp.dtype != np.int32:
             smp = smp.astype(np.int32)
@@ -306,7 +321,11 @@ def encode_flac_device(
     # A/B on hardware (tools/ab_pipeline.py, 2026-08-18): duplex 20.1 MB/s
     # median e2e vs 16.0 alternating at chunk=2048 -- the relay link
     # sustains ~29 MB/s aggregate under duplex vs ~23 ping-pong.
-    duplex = os.environ.get("FRTPU_PIPELINE", "duplex") == "duplex"
+    # device-resident input has no uploads to stage: chunks are HBM slices
+    duplex = (
+        os.environ.get("FRTPU_PIPELINE", "duplex") == "duplex"
+        and not dev_input
+    )
     pending: tuple | None = None
     if duplex and len(bounds) > 1:
         import queue
@@ -364,10 +383,14 @@ def encode_flac_device(
     else:
         for c0, c1 in bounds:
             t0 = time.perf_counter() if debug else 0.0
-            # contiguous row slice uploads copy-free; FORCE the wire transfer
-            # now (device_put is async) so it is the only tunnel op in flight
-            xr_dev = jax.device_put(rows[c0 * blocksize : c1 * blocksize])
-            np.asarray(_touch1(xr_dev))
+            if dev_input:
+                xr_dev = rows[c0 * blocksize : c1 * blocksize]  # HBM slice
+            else:
+                # contiguous row slice uploads copy-free; FORCE the wire
+                # transfer now (device_put is async) so it is the only
+                # tunnel op in flight
+                xr_dev = jax.device_put(rows[c0 * blocksize : c1 * blocksize])
+                np.asarray(_touch1(xr_dev))
             if debug:
                 logger.debug(
                     "upload f%d..%d: %.3fs", c0, c1, time.perf_counter() - t0
@@ -380,7 +403,9 @@ def encode_flac_device(
         drain(*pending)
 
     if n_full * blocksize < n:
-        tail = smp[n_full * blocksize :].astype(np.int64) - zero_point
+        # tiny pull for device input (< one block of rows); int64 math must
+        # happen in numpy (jnp under default x64-off would silently narrow)
+        tail = np.asarray(smp[n_full * blocksize :]).astype(np.int64) - zero_point
         chunks.append(
             _emit_tail_frame(tail, n_full, bits_per_sample, sr_code, bps_code, cfg)
         )
@@ -390,7 +415,9 @@ def encode_flac_device(
     all_sizes = np.concatenate(sizes)
     all_subs = np.concatenate(subs) if channels > 1 else None
     md5 = (
-        md5_of_samples(samples.astype(np.int64) - zero_point, bits_per_sample)
+        md5_of_samples(
+            np.asarray(samples).astype(np.int64) - zero_point, bits_per_sample
+        )
         if compute_md5
         else b"\x00" * 16
     )

@@ -244,6 +244,85 @@ class RasterFLACConverter:
         timer.report(logging.DEBUG)
         return blob
 
+    def encode_array_device(
+        self,
+        data,
+        *,
+        crs: str | None = None,
+        transform: Affine | None = None,
+        bounds=None,
+        nodata: float | None = None,
+        compression_level: int = 5,
+        extra_comments: dict | None = None,
+    ) -> bytes:
+        """encode_array for a DEVICE-RESIDENT raster: TPU egress.
+
+        ``data`` is a (bands, h, w) or (h, w) jax.Array already in HBM
+        (a model output, an augmentation result, a decode_bytes_device
+        raster).  Band interleave and the lossless shift normalization run
+        in-graph, the device encoder consumes HBM slices directly, and only
+        COMPRESSED words cross the wire -- the raw raster never visits the
+        host (the reference round-trips raw PCM through libFLAC on host,
+        ``converter.py:99-180``).  Bytes are identical to encode_array on
+        the pulled array except the MD5 field, which is left unset (an MD5
+        is a sequential host hash over raw samples; use encode_array if it
+        is required).
+
+        Falls back to encode_array (one host pull) for dtypes outside the
+        in-graph shift lane (float and 32-bit rasters: the device planner
+        is int32, bps <= 26) and for minmax mode.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.normalization import _SHIFT_SPECS
+
+        if not isinstance(data, jax.Array):
+            data = jnp.asarray(np.asarray(data))
+        if data.ndim == 2:
+            data = data[None]
+        count, height, width = data.shape
+        dt = np.dtype(data.dtype)
+        if not (
+            self.lossless
+            and dt in _SHIFT_SPECS
+            and _SHIFT_SPECS[dt][0] <= 26
+        ):
+            logger.debug(
+                "encode_array_device: %s/%s outside the in-graph lane; "
+                "pulling to host", dt, "lossless" if self.lossless else "minmax",
+            )
+            return self.encode_array(
+                np.asarray(data), crs=crs, transform=transform, bounds=bounds,
+                nodata=nodata, compression_level=compression_level,
+                extra_comments=extra_comments,
+            )
+        bps, zero = _SHIFT_SPECS[dt]
+        interleaved = jnp.transpose(data, (1, 2, 0)).reshape(
+            height * width, count
+        )
+        # stats for the metadata block: device reduce, two-scalar pull
+        params = NormalizationParams(
+            data_min=float(data.min()), data_max=float(data.max()),
+            original_dtype=str(dt), bits_per_sample=bps, scale_factor=1,
+            mode="shift", zero_point=zero,
+        )
+        comments = build_geospatial_comments(
+            crs=crs, width=width, height=height, count=count,
+            dtype=str(dt), transform=transform,
+            bounds=bounds if bounds is not None else [],
+            data_min=params.data_min, data_max=params.data_max,
+            nodata=nodata, norm_params=params,
+        )
+        if extra_comments:
+            comments.update(extra_comments)
+        sample_rate, _ = calculate_audio_params(data, dt)
+        return encode_flac_device(
+            interleaved, sample_rate, bps,
+            compression_level=compression_level, comments=comments,
+            compute_md5=False, zero_point=zero,
+        )
+
     def encode_array_batch(
         self,
         tiles: np.ndarray,

@@ -175,3 +175,38 @@ def test_decode_bytes_device_minmax(rng):
     assert np.asarray(devu).dtype == np.uint16
     assert np.max(np.abs(np.asarray(devu).astype(np.int64)
                          - hostu.astype(np.int64))) <= 1
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int16])
+def test_encode_array_device_identical_bytes(rng, dtype):
+    """TPU egress: encoding a device-resident raster must produce the same
+    bytes as encode_array on the host copy (MD5 off on both), and the full
+    device round trip (encode_array_device -> decode_bytes_device) must be
+    bit-exact."""
+    import jax.numpy as jnp
+
+    conv = RasterFLACConverter(lossless=True, compute_md5=False)
+    info = np.iinfo(dtype)
+    data = rng.integers(
+        info.min, info.max, (2, 56, 72), endpoint=True
+    ).astype(dtype)
+    blob_host = conv.encode_array(data)
+    blob_dev = conv.encode_array_device(jnp.asarray(data))
+    assert blob_dev == blob_host
+    back, _ = conv.decode_bytes_device(blob_dev)
+    assert np.array_equal(np.asarray(back), data)
+
+
+def test_encode_array_device_fallback_dtypes(rng):
+    """float32 / int32 rasters are outside the int32 device planner's
+    in-graph shift lane: they pull to host once and still round-trip."""
+    import jax.numpy as jnp
+
+    conv = RasterFLACConverter(lossless=True, compute_md5=False)
+    for data in (
+        rng.normal(0, 10, (1, 33, 47)).astype(np.float32),
+        rng.integers(-2**31, 2**31, (1, 33, 47)).astype(np.int32),
+    ):
+        blob = conv.encode_array_device(jnp.asarray(data))
+        back, _ = conv.decode_bytes(blob)
+        assert np.array_equal(back, data)
