@@ -74,6 +74,23 @@ def main() -> None:
     print(f"model-ready patch: {batch.shape} {batch.dtype}, "
           f"mean {float(batch.mean()):+.4f}")
 
+    # --- full device round trip: raster dtype in, raster dtype out ----------
+    # decode_bytes_device inverse-normalizes IN-GRAPH (original dtype, band-
+    # major layout, never on host); encode_array_device is the egress mirror
+    # (in-graph interleave + shift normalization, only compressed words
+    # cross the wire) -- e.g. writing augmented tiles or model outputs back
+    # to FLAC from HBM.
+    from flac_raster_tpu import RasterFLACConverter
+
+    conv = RasterFLACConverter(compute_md5=False)
+    tile = jnp.asarray(raster.astype(np.uint16))          # "model output"
+    tile_blob = conv.encode_array_device(tile)            # device egress
+    back, meta = conv.decode_bytes_device(tile_blob)      # device ingest
+    assert isinstance(back, jax.Array) and back.dtype == jnp.uint16
+    assert bool(jnp.array_equal(back, tile))
+    print(f"device round trip: {tile.nbytes/1e6:.1f} MB uint16 -> "
+          f"{len(tile_blob)/1e6:.2f} MB FLAC -> bit-exact, never on host")
+
     tmp = Path(tempfile.mkdtemp(prefix="flac_raster_ingest_"))
     (tmp / "scene.flac").write_bytes(blob)
     print(f"wrote {tmp/'scene.flac'}")
