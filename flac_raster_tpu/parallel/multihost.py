@@ -36,6 +36,7 @@ __all__ = [
     "init_multihost",
     "host_tile_slice",
     "encode_tiles_multihost",
+    "decode_container_tiles_multihost",
     "write_sharded_streaming_container",
     "assemble_sharded_container",
 ]
@@ -130,6 +131,36 @@ def encode_tiles_multihost(
     )
     global_offsets = np.cumsum(global_sizes) - global_sizes
     return local_blobs, global_sizes, global_offsets, sl
+
+
+def decode_container_tiles_multihost(source, verify_crc: bool = True):
+    """Decode this host's slice of a streaming container's tiles.
+
+    The decode mirror of encode_tiles_multihost: each host reads ONLY its
+    tiles' byte ranges from the container (a path or URL --
+    models/streaming range semantics) and decodes them in one sharded
+    mesh program over its LOCAL devices (parallel/decode_mesh).  No
+    cross-host traffic at all -- the container's index already carries the
+    global offsets, so unlike encode there is nothing to gather.
+
+    Returns:
+        (local_streams, local_slice): list of DecodedStream for tiles
+        [local_slice.start, local_slice.stop) with device-resident
+        samples, and the global slice they cover.
+    """
+    import jax
+
+    from ..models.streaming import load_streaming_index, read_streaming_tile
+    from .decode_mesh import decode_flac_batch_mesh
+
+    pid, pcount = jax.process_index(), jax.process_count()
+    sindex = load_streaming_index(source)
+    frames = sindex.meta["frames"]
+    sl = host_tile_slice(len(frames), pid, pcount)
+    blobs = [read_streaming_tile(source, sindex, f) for f in frames[sl]]
+    if not blobs:
+        return [], sl
+    return decode_flac_batch_mesh(blobs, verify_crc=verify_crc), sl
 
 
 def write_sharded_streaming_container(

@@ -53,6 +53,28 @@ def main() -> None:
         prefix, {"width": n, "height": 1, "bands": C},
         frames_meta, blobs, sizes, offsets, sl,
     )
+
+    # ---- decode mirror: assemble once, every host decodes ITS slice with
+    # its local mesh and verifies values against the shared workload --------
+    from jax.experimental import multihost_utils
+
+    from flac_raster_tpu.parallel.multihost import (
+        assemble_sharded_container,
+        decode_container_tiles_multihost,
+    )
+
+    multihost_utils.sync_global_devices("parts-written")
+    assembled = f"{prefix}.assembled.flac"
+    if pid == 0:
+        assemble_sharded_container(prefix, nproc, assembled)
+    multihost_utils.sync_global_devices("assembled")
+    decs, dsl = decode_container_tiles_multihost(assembled, verify_crc=True)
+    assert (dsl.start, dsl.stop) == (sl.start, sl.stop)
+    decode_ok = all(
+        np.array_equal(np.asarray(d.samples), tiles[sl.start + i])
+        for i, d in enumerate(decs)
+    )
+
     with open(f"{prefix}.out{pid}.json", "w") as f:
         json.dump({
             "pid": pid,
@@ -61,6 +83,8 @@ def main() -> None:
             "offsets": offsets.tolist(),
             "local_devices": len(jax.local_devices()),
             "global_devices": len(jax.devices()),
+            "decode_ok": bool(decode_ok),
+            "decoded_tiles": len(decs),
         }, f)
 
 

@@ -89,3 +89,16 @@ def test_assembled_container_matches_single_process(mh_run):
         assert tile == single[i], f"tile {i} differs from single-process bytes"
         dec = decode_flac(tile, verify_crc=True, verify_md5=True)
         assert np.array_equal(dec.samples, tiles[i])
+
+
+def test_decode_mirror_per_host(mh_run):
+    """Each host decoded ITS slice of the assembled container with its
+    local mesh (decode_container_tiles_multihost) and verified values
+    against the shared workload -- no cross-host traffic."""
+    prefix, nproc, outs = mh_run
+    total = 0
+    for out in outs:
+        assert out["decode_ok"], f"host {out['pid']} decode mismatch"
+        assert out["decoded_tiles"] == out["slice"][1] - out["slice"][0]
+        total += out["decoded_tiles"]
+    assert total == 5  # every tile decoded exactly once across hosts
