@@ -175,7 +175,85 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
     B = pos.shape[0]
     M = DEVICE_DECODE_MAX_ORDER
 
-    hdr = (_read32(words, pos) >> jnp.uint32(24)).astype(jnp.int32)
+    W = words.shape[1]
+    row_mode = row_gather and (W % _RW == 0) and (W // _RW >= nrow)
+    if row_mode:
+        m_rows = words.reshape(B * (W // _RW), _RW)
+        lane_rows = jnp.arange(B, dtype=jnp.int32) * (W // _RW)
+
+    # ---- de-gathered header reads (row mode) --------------------------------
+    # The ~12 header/warmup/coeff/meta reads below are per-lane bit-addressed
+    # gathers from the (B, W) window tensor; on v5e per-lane dynamic gathers
+    # run at only tens of M elem/s (CLAUDE.md) and profile_rice_scan pinned
+    # ~2/3 of this kernel's real compute OUTSIDE the Rice scan -- the same
+    # failure mode as the encoder's per-sample ks take_along_axis (cured by
+    # a micro-gather + broadcast, ops/device_emit.py).  Cure here: every
+    # such read lands within ~540 bits of the subframe start, so fetch TWO
+    # aligned _RW-word rows per lane (one row-priced take), realign so bit 0
+    # == ``pos`` exactly as the Rice scan does, and serve all reads from the
+    # resulting (B, _HEAD_W+1) register window with dense one-hot selects --
+    # zero per-lane gathers, bit-identical values by construction.
+    _HEAD_W = 24  # max read offset: 8 + 12*27 + 9 + 11*15 = 506 bits; +32
+    # read span + 31 alignment slack < 24*32; realigned rows provide >= 33
+    if row_mode:
+        hr0 = jnp.clip((pos >> 5) // _RW, 0, W // _RW - 2)
+        hrows = jnp.take(
+            m_rows,
+            (hr0[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :])
+            + lane_rows[:, None],
+            axis=0,
+        ).reshape(B, 2 * _RW)
+        hoff = (pos >> 5) - hr0 * _RW
+        s = _RW >> 1
+        while s:
+            hrows = jnp.where(
+                ((hoff & s) != 0)[:, None],
+                jnp.concatenate(
+                    [hrows[:, s:], jnp.zeros((B, s), jnp.uint32)], axis=1
+                ),
+                hrows,
+            )
+            s >>= 1
+        hsh = (pos & 31).astype(jnp.uint32)[:, None]
+        h1 = jnp.concatenate(
+            [hrows[:, 1:], jnp.zeros((B, 1), jnp.uint32)], axis=1
+        )
+        head = (hrows << hsh) | (
+            (h1 >> jnp.uint32(1)) >> (jnp.uint32(31) - hsh)
+        )
+        head = head[:, : _HEAD_W + 1]
+        iota_head = jnp.arange(_HEAD_W, dtype=jnp.int32)
+
+        def read32_at(p):
+            """32 bits at absolute position p (p - pos < _HEAD_W*32 - 31)."""
+            rel = p - pos
+            wi = rel >> 5
+            sel = wi[:, None] == iota_head[None, :]
+            a = jnp.sum(jnp.where(sel, head[:, :_HEAD_W], 0), axis=1)
+            b = jnp.sum(jnp.where(sel, head[:, 1 : _HEAD_W + 1], 0), axis=1)
+            sp = (rel & 31).astype(jnp.uint32)
+            return (a << sp) | ((b >> jnp.uint32(1)) >> (jnp.uint32(31) - sp))
+
+        def read32_2d_at(p):
+            rel = p - pos[:, None]
+            wi = rel >> 5
+            sel = wi[:, :, None] == iota_head[None, None, :]
+            a = jnp.sum(jnp.where(sel, head[:, None, :_HEAD_W], 0), axis=2)
+            b = jnp.sum(
+                jnp.where(sel, head[:, None, 1 : _HEAD_W + 1], 0), axis=2
+            )
+            sp = (rel & 31).astype(jnp.uint32)
+            return (a << sp) | ((b >> jnp.uint32(1)) >> (jnp.uint32(31) - sp))
+
+    else:
+
+        def read32_at(p):
+            return _read32(words, p)
+
+        def read32_2d_at(p):
+            return _read32_2d(words, p)
+
+    hdr = (read32_at(pos) >> jnp.uint32(24)).astype(jnp.int32)
     err = err | ((hdr & 1) != 0)  # wasted bits: not emitted by our encoders
     t6 = (hdr >> 1) & 0x3F
     is_const = t6 == 0
@@ -190,7 +268,7 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
     pos0 = pos + 8
 
     # ---- constant ----------------------------------------------------------
-    const_val = _sext(_take_bits(_read32(words, pos0), eb), eb)
+    const_val = _sext(_take_bits(read32_at(pos0), eb), eb)
 
     # ---- verbatim (rare: gate the (B, N) bit-gather behind a cond) ---------
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
@@ -209,16 +287,16 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
     # ---- warmups + LPC meta ------------------------------------------------
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     wpos = pos0[:, None] + iota_m * eb[:, None]
-    warm = _sext(_take_bits(_read32_2d(words, wpos), eb[:, None]), eb[:, None])
+    warm = _sext(_take_bits(read32_2d_at(wpos), eb[:, None]), eb[:, None])
     warm = jnp.where(iota_m < order[:, None], warm, 0)
     pos_w = pos0 + order * eb
 
-    prec = (_take_bits(_read32(words, pos_w), 4) + 1).astype(jnp.int32)
-    shiftv = _sext(_take_bits(_read32(words, pos_w + 4), 5), 5)
+    prec = (_take_bits(read32_at(pos_w), 4) + 1).astype(jnp.int32)
+    shiftv = _sext(_take_bits(read32_at(pos_w + 4), 5), 5)
     err = err | (is_lpc & ((prec == 16) | (shiftv < 0)))
     qpos = pos_w[:, None] + 9 + iota_m * prec[:, None]
     qcoef = _sext(
-        _take_bits(_read32_2d(words, qpos), prec[:, None]), prec[:, None]
+        _take_bits(read32_2d_at(qpos), prec[:, None]), prec[:, None]
     )
     qcoef = jnp.where((iota_m < order[:, None]) & is_lpc[:, None], qcoef, 0)
     lpcmeta = jnp.where(is_lpc, 9 + order * prec, 0)
@@ -232,8 +310,8 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
 
     # ---- residual: method/po then the unrolled Rice chain scan -------------
     rpos = pos_w + lpcmeta
-    method = (_take_bits(_read32(words, rpos), 2)).astype(jnp.int32)
-    po = (_take_bits(_read32(words, rpos + 2), 4)).astype(jnp.int32)
+    method = (_take_bits(read32_at(rpos), 2)).astype(jnp.int32)
+    po = (_take_bits(read32_at(rpos + 2), 4)).astype(jnp.int32)
     err = err | (is_rice & (method > 1))
     pbits = 4 + method
     escape = (jnp.int32(1) << pbits) - 1
@@ -258,8 +336,6 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
     #   * element mode: (B, _TW) take_along_axis, kept for A/B profiling
     #     (tools/profile_decode.py) and for word counts not divisible by
     #     _RW.
-    W = words.shape[1]
-    row_mode = row_gather and (W % _RW == 0) and (W // _RW >= nrow)
     row_words = nrow * _RW
     align_words = row_words - (_RW - 1)
     group_row = (align_words * 32 - 31) // 37
@@ -268,8 +344,6 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
     zero_w = jnp.zeros((B,), jnp.uint32)
     n_steps = -(-N // group)
     if row_mode:
-        m_rows = words.reshape(B * (W // _RW), _RW)
-        lane_rows = jnp.arange(B, dtype=jnp.int32) * (W // _RW)
         iota_nrow = jnp.arange(nrow, dtype=jnp.int32)
 
     def _word_shl(arr, nwords):

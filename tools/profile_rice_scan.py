@@ -237,8 +237,35 @@ def main() -> int:
 
         return scan
 
-    start = jnp.zeros((B,), jnp.int32)
+    # ---- the REAL _parse_subframe on crafted fixed-order-2 streams ---------
+    # (valid header + residual method/po; random code bits).  The delta vs
+    # the pure-scan 'base' variant is the pre/post-scan cost inside the
+    # shipped kernel (header/warmup/coeff per-lane bit reads, IIR restore,
+    # residual place).
+    from flac_raster_tpu.ops import device_decode as dd
+
+    crafted = words_np.copy()
+    crafted[:, 0] = (0x14 << 24) | (crafted[:, 0] & 0xFFFFFF)  # fixed, order 2
+    # bits 8..13 of word 1: method=0 (2 bits), po=4 (4 bits)
+    crafted[:, 1] = (crafted[:, 1] & ~np.uint32(0x3F << 18)) | np.uint32(0x4 << 18)
+    crafted_d = jnp.asarray(crafted)
+    eb = jnp.full((B,), 16, jnp.int32)
+    zero_pos = jnp.zeros((B,), jnp.int32)
+    zero_err = jnp.zeros((B,), bool)
+
+    @jax.jit
+    def full_parse(w):
+        sig, end, err = dd._parse_subframe(
+            w, zero_pos, eb, zero_err, N=N, row_gather=True, nrow=nrow
+        )
+        return sig
+
+    sync(full_parse(crafted_d))
+    dt = timeit(lambda: sync(full_parse(crafted_d)))
     codes = B * N
+    print(f"full _parse_subframe     : {dt*1e3:8.1f} ms  {codes/dt/1e6:6.1f} M codes/s")
+
+    start = jnp.zeros((B,), jnp.int32)
     ref = None
     for variant in ("base", "noga", "T", "Tshrink"):
         fn = make_scan(variant)
