@@ -230,7 +230,7 @@ def _extract_rows(args) -> int:
     from .converter import RasterFLACConverter
     from .io.geo import Affine
     from .io.geotiff import write_geotiff
-    from .io.remote import download_remote, is_remote_url
+    from .io.remote import RemoteFile, is_remote_url
 
     try:
         row0_s, count_s = args.rows.split(":", 1)
@@ -239,11 +239,17 @@ def _extract_rows(args) -> int:
         print("--rows expects START:COUNT (e.g. 1024:512)", file=sys.stderr)
         return 1
     src = args.flac_file
-    blob = (
-        download_remote(src) if is_remote_url(src) else Path(src).read_bytes()
-    )
     conv = RasterFLACConverter()
-    data, meta = conv.decode_rows(blob, row0, n_rows)
+    if is_remote_url(src):
+        # ranged access: header prefix + only the covering frame span
+        remote = RemoteFile(src)
+        data, meta, fetched = conv.decode_rows_ranged(remote, row0, n_rows)
+        total = remote.file_size
+        if total:
+            print(f"Fetched {fetched:,} of {total:,} bytes "
+                  f"({100 * fetched / total:.1f}%)")
+    else:
+        data, meta = conv.decode_rows(Path(src).read_bytes(), row0, n_rows)
     transform = meta.get("transform")
     if transform is not None:
         t = Affine(*transform) if not isinstance(transform, Affine) else transform

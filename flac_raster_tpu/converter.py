@@ -501,11 +501,124 @@ class RasterFLACConverter:
             blob, row0 * width, n_rows * width, verify_crc=False
         )
         flat = self._denormalize_samples(decoded, meta)
+        return self._reshape_rows(flat, n_rows, width, count), meta
+
+    @staticmethod
+    def _reshape_rows(flat: np.ndarray, n_rows: int, width: int, count: int) -> np.ndarray:
         if count > 1 or (flat.ndim > 1 and flat.shape[1] > 1):
             data = flat.reshape(n_rows, width, count).transpose(2, 0, 1)
         else:
             data = flat.reshape(n_rows, width)[None]
-        return np.ascontiguousarray(data), meta
+        return np.ascontiguousarray(data)
+
+    # initial/metadata prefetch for ranged remote row decode; doubles until
+    # the metadata section parses (reference prefetches a flat 1 MB,
+    # ``spatial_encoder.py:450`` -- ours starts smaller and grows)
+    _HEADER_PREFETCH = 256 * 1024
+    _HEADER_PREFETCH_MAX = 32 * 1024 * 1024
+
+    def decode_rows_ranged(
+        self,
+        source,
+        row0: int,
+        n_rows: int,
+        sidecar_path: Path | None = None,
+    ) -> tuple[np.ndarray, dict, int]:
+        """decode_rows over a byte-range source (RemoteFile-like) -- the
+        plain-FLAC analog of the reference's streaming-container extract
+        (``cli.py:297-306``), which fetches only the covering tile's bytes.
+
+        Fetches (1) a growing header prefix until the metadata section
+        parses, then (2) exactly the frame span covering the row window,
+        located through the FRTP layout index -- never the whole file.
+        ``source`` needs ``read_range(start, end)`` (inclusive end) and a
+        ``file_size`` attribute (both on io.remote.RemoteFile); falls back
+        to a whole-file fetch + :meth:`decode_rows` when the stream carries
+        no layout index.  Returns ``(data, meta, bytes_fetched)``.
+        """
+        from .codec.decoder import decode_flac
+        from .models.flac_format import (
+            BLOCK_VORBIS_COMMENT,
+            StreamInfo,
+            build_flac_header,
+            parse_flac_metadata,
+            parse_layout_block,
+            parse_vorbis_comments,
+        )
+
+        size = source.file_size
+        fetched = 0
+        want = min(self._HEADER_PREFETCH, size or self._HEADER_PREFETCH)
+        header = b""
+        while True:
+            header += source.read_range(len(header), want - 1)
+            fetched = len(header)
+            try:
+                si, blocks, frame_start = parse_flac_metadata(header)
+                break
+            except ValueError as e:
+                if "truncated" not in str(e):
+                    raise
+                if (size is not None and want >= size) or want >= self._HEADER_PREFETCH_MAX:
+                    raise
+                want = min(want * 4, size or self._HEADER_PREFETCH_MAX)
+
+        comments: dict = {}
+        for b in blocks:
+            if b.block_type == BLOCK_VORBIS_COMMENT:
+                _, comments = parse_vorbis_comments(b.data)
+        meta = self._load_meta(comments, sidecar_path)
+        if not meta:
+            raise ValueError("no geospatial metadata found in FLAC file or sidecar")
+        width, height, count = meta["width"], meta["height"], meta["count"]
+        if row0 < 0 or n_rows < 0 or row0 + n_rows > height:
+            raise ValueError("row range outside the raster")
+
+        layout = parse_layout_block(blocks)
+        N = si.max_blocksize
+        offsets = layout.absolute_offsets(frame_start) if layout is not None else None
+        if (
+            layout is None
+            or si.min_blocksize != N
+            or N == 0
+            or si.total_samples == 0
+            or (size is not None and offsets[-1] != size)
+        ):
+            # foreign stream without a usable decode index: whole-file path
+            blob = header
+            if size is not None and size > len(header):
+                blob = header + source.read_range(len(header), size - 1)
+            data, meta = self.decode_rows(blob, row0, n_rows, sidecar_path)
+            return data, meta, len(blob)
+
+        start_sample, num_samples = row0 * width, n_rows * width
+        n_frames = len(layout.sizes)
+        f0 = min(start_sample // N, n_frames - 1)
+        f1 = min(-(-(start_sample + num_samples) // N), n_frames)
+        span_samples = min(si.total_samples, f1 * N) - f0 * N
+
+        lo_byte, hi_byte = int(offsets[f0]), int(offsets[f1])
+        if hi_byte <= len(header) and lo_byte >= 0:
+            span = header[lo_byte:hi_byte]
+        elif lo_byte < len(header):
+            span = header[lo_byte:] + source.read_range(len(header), hi_byte - 1)
+            fetched += hi_byte - len(header)
+        else:
+            span = source.read_range(lo_byte, hi_byte - 1)
+            fetched += hi_byte - lo_byte
+
+        mini_si = StreamInfo(
+            min_blocksize=si.min_blocksize, max_blocksize=N,
+            min_framesize=0, max_framesize=0,
+            sample_rate=si.sample_rate, channels=si.channels,
+            bits_per_sample=si.bits_per_sample, total_samples=span_samples,
+        )
+        dec = decode_flac(build_flac_header(mini_si) + span, verify_crc=False)
+        lo = start_sample - f0 * N
+        dec.samples = dec.samples[lo : lo + num_samples]
+        dec.streaminfo = si
+        flat = self._denormalize_samples(dec, meta)
+        return self._reshape_rows(flat, n_rows, width, count), meta, fetched
 
     def decode_bytes_device(
         self,

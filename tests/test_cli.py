@@ -128,3 +128,77 @@ def test_extract_rows_plain_flac(tmp_path, tif):
         assert abs(src.transform.f - (40.5 - 0.001 * 50)) < 1e-9
     assert main(["extract", str(flac), "-o", str(out), "--rows", "bad"]) == 1
     assert main(["extract", str(flac), "-o", str(out), "--rows", "190:40"]) == 1
+
+
+def _range_session(blob, seen_ranges):
+    """requests.Session stand-in replaying ``blob`` for ranged GETs."""
+    from unittest.mock import MagicMock
+
+    session = MagicMock()
+
+    def fake_get(url, headers=None, timeout=None):
+        a, b = map(int, headers["Range"].split("=")[1].split("-"))
+        seen_ranges.append((a, b))
+        m = MagicMock()
+        m.status_code = 206
+        m.content = blob[a : b + 1]
+        m.headers = {"Content-Range": f"bytes {a}-{b}/{len(blob)}"}
+        return m
+
+    def fake_head(url, timeout=None):
+        m = MagicMock()
+        m.headers = {"content-length": str(len(blob)), "accept-ranges": "bytes"}
+        m.raise_for_status = lambda: None
+        return m
+
+    session.get.side_effect = fake_get
+    session.head.side_effect = fake_head
+    return session
+
+
+def test_extract_rows_remote_ranged(tmp_path, tif, monkeypatch, capsys):
+    """Remote --rows must be RANGED: header prefix + only the frame span
+    covering the window (the plain-FLAC analog of the reference's
+    streaming-container extract, ``cli.py:297-306``), never the whole file."""
+    from unittest.mock import patch
+
+    from flac_raster_tpu.converter import RasterFLACConverter
+
+    p, data = tif
+    flac = tmp_path / "whole.flac"
+    assert main(["convert", str(p), "-o", str(flac)]) == 0
+    blob = flac.read_bytes()
+    monkeypatch.setattr(RasterFLACConverter, "_HEADER_PREFETCH", 8192)
+
+    seen: list = []
+    out = tmp_path / "rwin.tif"
+    with patch("flac_raster_tpu.io.remote.create_session",
+               return_value=_range_session(blob, seen)):
+        assert main(["extract", "https://example.com/whole.flac",
+                     "-o", str(out), "--rows", "120:40"]) == 0
+    assert np.array_equal(open_geotiff(out).read(), data[:, 120:160])
+    fetched = sum(min(b, len(blob) - 1) - a + 1 for a, b in seen)
+    assert fetched < 0.6 * len(blob), (fetched, len(blob), seen)
+    assert "Fetched" in capsys.readouterr().out
+
+
+def test_decode_rows_ranged_fallback_without_index(tmp_path, tif, monkeypatch):
+    """A remote stream WITHOUT the FRTP index degrades to a whole-file
+    fetch + decode_rows, still returning the right window."""
+    from unittest.mock import patch
+
+    from flac_raster_tpu.converter import RasterFLACConverter
+    from flac_raster_tpu.io.remote import RemoteFile
+
+    p, data = tif
+    flac = tmp_path / "whole.flac"
+    assert main(["convert", str(p), "-o", str(flac)]) == 0
+    blob = flac.read_bytes().replace(b"FRTP", b"XXXX", 1)  # kill the index
+    monkeypatch.setattr(RasterFLACConverter, "_HEADER_PREFETCH", 8192)
+
+    with patch("flac_raster_tpu.io.remote.create_session",
+               return_value=_range_session(blob, [])):
+        rf = RemoteFile("https://example.com/noindex.flac")
+        win, meta, fetched = RasterFLACConverter().decode_rows_ranged(rf, 50, 30)
+    assert np.array_equal(win, data[:, 50:80])
+    assert fetched == len(blob)
