@@ -193,9 +193,17 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
     # == ``pos`` exactly as the Rice scan does, and serve all reads from the
     # resulting (B, _HEAD_W+1) register window with dense one-hot selects --
     # zero per-lane gathers, bit-identical values by construction.
-    _HEAD_W = 24  # max read offset: 8 + 12*27 + 9 + 11*15 = 506 bits; +32
-    # read span + 31 alignment slack < 24*32; realigned rows provide >= 33
+    _HEAD_W = 24  # max read offset: 8 + 12*27 + 9 + 11*16 = 517 bits (prec
+    # reads garbage on non-LPC lanes and can reach 16 there -- the prec==16
+    # err check only gates is_lpc); +32 read span + 31 alignment slack
+    # < 24*32 - 31 = 737; realigned rows provide >= 33 words
     if row_mode:
+        # valid layout windows carry _WIN_SLACK_WORDS of tail slack, so the
+        # clip below never binds on them; if it DOES bind (corrupt/hostile
+        # index) hoff would land in [32, 63], past the 5-stage shift chain's
+        # reach, and every header read would silently misalign -- flag err
+        # deterministically instead so the host-decoder fallback engages.
+        err = err | ((pos >> 5) // _RW > W // _RW - 2)
         hr0 = jnp.clip((pos >> 5) // _RW, 0, W // _RW - 2)
         hrows = jnp.take(
             m_rows,

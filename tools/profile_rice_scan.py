@@ -7,7 +7,13 @@ tool times the SHIPPED row-mode scan dataflow (ops/device_decode.rice_step,
 synthetic plan inputs) against surgical variants to split the remaining
 cost and test one layout hypothesis:
 
-  base     -- the shipped dataflow, verbatim.
+  base     -- the shipped dataflow, with ONE deliberate deviation: the
+              partition parameter is clamped (k = min(k_new, 14)) so the
+              random synthetic words can't drive k past the token cap; the
+              shipped rice_step keeps k_new and relies on its escape /
+              oversize err flags instead.  Bit advances therefore differ
+              slightly from production on random inputs; the instruction
+              mix is otherwise identical.
   noga     -- per-lane row gather replaced by a static slice: isolates the
               window-fetch cost from the shift chain.
   T        -- window kept TRANSPOSED (words on the sublane axis, lanes on
