@@ -391,6 +391,20 @@ def main() -> None:
 
     extras["ratio"] = round(data.nbytes / len(blob), 3)
 
+    # measured libFLAC -5 gate: the CI flac-interop job encodes this exact
+    # workload with pyflac and commits the byte size
+    # (tools/pyflac_crosscheck.py --baseline); >= 1.0 means our stream is
+    # no larger than libFLAC's for identical samples
+    from pathlib import Path as _Path
+
+    baseline_file = _Path(__file__).parent / "test_data" / "libflac5_baseline.json"
+    if baseline_file.exists():
+        try:
+            lf = json.loads(baseline_file.read_text())["libflac5_bytes"]
+            extras["ratio_vs_libflac5"] = round(lf / len(blob), 4)
+        except Exception as exc:
+            extras["ratio_vs_libflac5_error"] = str(exc)[:120]
+
     if remaining() > 60:
         _note("extras: stage breakdown")
         try:
