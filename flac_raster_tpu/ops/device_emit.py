@@ -296,86 +296,79 @@ def plan_and_emit(
 
     words = jnp.zeros(n_words, jnp.uint32)
 
-    # frame header: 32 bits as two 16-bit tokens (values stay < 2^32 anyway,
-    # but 16-bit pieces keep every token <= 2 words); the channel-assignment
-    # nibble is per-frame when mid-side is active
+    # ---- merged header/meta token stream -----------------------------------
+    # Every non-sample token (frame header pieces, UTF-8 frame number,
+    # subframe headers, warmups, LPC meta + coefficients, method/po, constant
+    # values, Rice partition parameters) is laid out as ONE (F, S) slot array
+    # in bitstream order and scattered with a single _scatter_tokens call (2
+    # scatter ops) instead of ~14 calls (28 ops, each a full pass over the
+    # word buffer) -- the "~35 ms of layout/header XLA ops per chunk" item in
+    # docs/PERFORMANCE.md.  Dead slots carry length 0 at an offset clamped
+    # between their live neighbors, preserving the sorted-scatter promise.
     hdr_const = np.uint32(
         (0b11111111111110 << 18) | (bs_code << 12) | (sr_code << 8) | (bps_code << 1)
     )
     hdr32 = hdr_const | (chan_code.astype(jnp.uint32) << jnp.uint32(4))
-    words = _scatter_tokens(
-        words,
-        hdr32 >> 16,
-        jnp.full((F,), 16, jnp.int32),
-        frame_start,
-    )
-    words = _scatter_tokens(
-        words,
-        hdr32 & 0xFFFF,
-        jnp.full((F,), 16, jnp.int32),
-        frame_start + 16,
-    )
+    # frame-level slots: hdr hi/lo 16-bit pieces (token <= 2 words), 6 UTF-8
+    # byte slots (dead ones clamp onto the last emitted byte), optional
+    # blocksize tail
     j6 = jax.lax.broadcasted_iota(jnp.int32, (F, 6), 1)
-    words = _scatter_tokens(words, utf8_v, utf8_l, frame_start[:, None] + 32 + j6 * 8)
+    j6c = jnp.minimum(j6, n_bytes[:, None] - 1)
+    frame_v = [hdr32 >> 16, hdr32 & 0xFFFF]
+    frame_l = [jnp.full((F,), 16, jnp.int32)] * 2
+    frame_o = [frame_start, frame_start + 16]
+    frame_v.append(utf8_v)
+    frame_l.append(utf8_l)
+    frame_o.append(frame_start[:, None] + 32 + j6c * 8)
     if bs_tail_bits:
-        words = _scatter_tokens(
-            words,
-            jnp.full((F,), bs_tail_val, jnp.uint32),
-            jnp.full((F,), bs_tail_bits, jnp.int32),
-            frame_start + 32 + n_bytes * 8,
-        )
+        frame_v.append(jnp.full((F,), bs_tail_val, jnp.uint32))
+        frame_l.append(jnp.full((F,), bs_tail_bits, jnp.int32))
+        frame_o.append(frame_start + 32 + n_bytes * 8)
 
-    # subframe header byte
+    # per-subframe slots, in bitstream order: header byte, constant value,
+    # warmups, LPC precision/shift/coefficients, method/po, partition params
     type_code = jnp.where(
         is_const, 0,
         jnp.where(is_verb, 1,
                   jnp.where(is_lpc, 32 | jnp.maximum(order - 1, 0), 8 | order)),
     )
-    words = _scatter_tokens(
-        words, (type_code << 1).astype(jnp.uint32),
-        jnp.full((F, C), 8, jnp.int32), sf_start,
-    )
-
-    # warmups (dead slots clamp onto the last live one to stay sorted)
     j8 = jax.lax.broadcasted_iota(jnp.int32, (F, C, MAX_ORDER_SLOTS), 2)
     wu_used = (j8 < order[:, :, None]) & is_rice[:, :, None]
     j8w = jnp.minimum(j8, jnp.maximum(order - 1, 0)[:, :, None])
     wu_vals = (x[:, :, :MAX_ORDER_SLOTS] & bmask[:, :, None]).astype(jnp.uint32)
-    words = _scatter_tokens(
-        words, jnp.where(wu_used, wu_vals, 0),
-        jnp.where(wu_used, ch_bps[:, :, None], 0),
-        sf_start[:, :, None] + 8 + j8w * ch_bps[:, :, None],
-    )
-
-    # lpc meta
     lpc_base = sf_start + 8 + order * ch_bps
-    words = _scatter_tokens(
-        words, jnp.where(is_lpc, precision - 1, 0).astype(jnp.uint32),
-        jnp.where(is_lpc, 4, 0), lpc_base,
-    )
-    words = _scatter_tokens(
-        words, jnp.where(is_lpc, shift & 0x1F, 0).astype(jnp.uint32),
-        jnp.where(is_lpc, 5, 0), lpc_base + 4,
-    )
     cf_used = (j8 < order[:, :, None]) & is_lpc[:, :, None]
     prec_mask = (jnp.int32(1) << precision) - 1
-    words = _scatter_tokens(
-        words, (qcoeffs & prec_mask[:, :, None]).astype(jnp.uint32),
+    is_lpc4 = jnp.where(is_lpc, 4, 0)
+
+    sub_v = [
+        (type_code << 1).astype(jnp.uint32),                 # subframe header
+        (x[:, :, 0] & bmask).astype(jnp.uint32),             # constant value
+        jnp.where(wu_used, wu_vals, 0),                      # warmups
+        jnp.where(is_lpc, precision - 1, 0).astype(jnp.uint32),
+        jnp.where(is_lpc, shift & 0x1F, 0).astype(jnp.uint32),
+        (qcoeffs & prec_mask[:, :, None]).astype(jnp.uint32),
+        ((method << 4) | po).astype(jnp.uint32),             # residual meta
+    ]
+    sub_l = [
+        jnp.full((F, C), 8, jnp.int32),
+        jnp.where(is_const, ch_bps, 0),
+        jnp.where(wu_used, ch_bps[:, :, None], 0),
+        is_lpc4,
+        jnp.where(is_lpc, 5, 0),
         jnp.where(cf_used, precision[:, :, None], 0),
-        lpc_base[:, :, None] + 9 + j8w * precision[:, :, None],
-    )
-
-    # residual method/po
-    words = _scatter_tokens(
-        words, ((method << 4) | po).astype(jnp.uint32),
-        jnp.where(is_rice, 6, 0), lpc_base + lpcmeta,
-    )
-
-    # constant value
-    words = _scatter_tokens(
-        words, (x[:, :, 0] & bmask).astype(jnp.uint32),
-        jnp.where(is_const, ch_bps, 0), sf_start + 8,
-    )
+        jnp.where(is_rice, 6, 0),
+    ]
+    sub_o = [
+        sf_start,
+        sf_start + 8,
+        sf_start[:, :, None] + 8 + j8w * ch_bps[:, :, None],
+        lpc_base,
+        lpc_base + is_lpc4,                                   # dead: stay at base
+        lpc_base[:, :, None] + jnp.where(is_lpc, 9, 0)[:, :, None]
+        + j8w * jnp.where(is_lpc, precision, 0)[:, :, None],
+        lpc_base + lpcmeta,
+    ]
 
     # ---- sample tokens ----------------------------------------------------
     # Per-sample Rice parameter WITHOUT a per-lane gather: every partition
@@ -422,6 +415,58 @@ def plan_and_emit(
         rice_tok, 1 + k, jnp.where(is_verb[:, :, None], ch_bps[:, :, None], 0)
     )
     tok_o = jnp.where(rice_tok, base_off + q, base_off)
+
+    # rice partition parameter slots (dead slots clamp to the last live one);
+    # they interleave with sample tokens in the bitstream but ride the merged
+    # header stream -- their offsets stay monotone within the subframe's slot
+    # run and below the next subframe's header
+    p64 = jax.lax.broadcasted_iota(jnp.int32, (F, C, 64), 2)
+    p_used = (p64 < (jnp.int32(1) << po)[:, :, None]) & is_rice[:, :, None]
+    pc = jnp.minimum(p64, (jnp.int32(1) << po)[:, :, None] - 1)
+    sp = jnp.minimum(pc << (log2n - po)[:, :, None], N - 1)
+    Ep = jnp.take_along_axis(E, sp, axis=2)
+    k_off = sf_start[:, :, None] + payload_base[:, :, None] + pbits[:, :, None] * pc + Ep
+    sub_v.append(ks.astype(jnp.uint32))
+    sub_l.append(jnp.where(p_used, pbits[:, :, None], 0))
+    sub_o.append(k_off)
+
+    # single merged scatter: frame slots then channel-major subframe slots
+    def _slots(pieces, dtype):
+        cols = [
+            p[:, :, None].astype(dtype) if p.ndim == 2 else p.astype(dtype)
+            for p in pieces
+        ]
+        return jnp.concatenate(cols, axis=2).reshape(F, -1)
+
+    merged_v = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [p[:, None] if p.ndim == 1 else p for p in frame_v], axis=1
+            ).astype(jnp.uint32),
+            _slots(sub_v, jnp.uint32),
+        ],
+        axis=1,
+    )
+    merged_l = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [p[:, None] if p.ndim == 1 else p for p in frame_l], axis=1
+            ).astype(jnp.int32),
+            _slots(sub_l, jnp.int32),
+        ],
+        axis=1,
+    )
+    merged_o = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [p[:, None] if p.ndim == 1 else p for p in frame_o], axis=1
+            ).astype(jnp.int32),
+            _slots(sub_o, jnp.int32),
+        ],
+        axis=1,
+    )
+    words = _scatter_tokens(words, merged_v, merged_l, merged_o)
+
     if device_codec._use_pallas():
         # Mosaic packing kernel (ops/pallas_pack): ~82M tokens/s XLA scatter
         # was the emit ceiling; same integer arithmetic, same bytes (add ==
@@ -434,17 +479,6 @@ def plan_and_emit(
         )
     else:
         words = _scatter_tokens(words, tok_v, tok_l, tok_o)
-
-    # rice partition parameter tokens (dead slots clamp to the last live one)
-    p64 = jax.lax.broadcasted_iota(jnp.int32, (F, C, 64), 2)
-    p_used = (p64 < (jnp.int32(1) << po)[:, :, None]) & is_rice[:, :, None]
-    pc = jnp.minimum(p64, (jnp.int32(1) << po)[:, :, None] - 1)
-    sp = jnp.minimum(pc << (log2n - po)[:, :, None], N - 1)
-    Ep = jnp.take_along_axis(E, sp, axis=2)
-    k_off = sf_start[:, :, None] + payload_base[:, :, None] + pbits[:, :, None] * pc + Ep
-    words = _scatter_tokens(
-        words, ks.astype(jnp.uint32), jnp.where(p_used, pbits[:, :, None], 0), k_off
-    )
 
     return {
         "words": words,
