@@ -154,7 +154,11 @@ def decode_flac_device(
         and N >= 64
         and (N & (N - 1)) == 0
         and 1 <= C <= 8
-        and bps + (1 if C == 2 else 0) <= MAX_DEVICE_BPS + 1
+        # narrow lane: bps (+1 for a 2-channel side subframe) within the
+        # int32 planner width; wide lane: exactly 32 (never mid-side -- a
+        # 33-bit side channel would break TOK32; foreign mid-side frames
+        # trip the in-graph err flag and fall back to the host decoder)
+        and (bps + (1 if C == 2 else 0) <= MAX_DEVICE_BPS + 1 or bps == 32)
         and si.total_samples > 0
     )
     if not eligible:

@@ -164,9 +164,12 @@ def encode_flac_device(
     if bits_per_sample not in _BPS_CODES:
         raise ValueError(f"unsupported bits_per_sample {bits_per_sample}")
     n_full = n // blocksize
+    # narrow (<= MAX_DEVICE_BPS) and wide (32, ops/wide_codec) lanes both
+    # run on device; only 27..31 -- not emittable FLAC widths anyway
+    # (_BPS_CODES) -- would fall through
     if (
         n_full == 0
-        or bits_per_sample > MAX_DEVICE_BPS
+        or MAX_DEVICE_BPS < bits_per_sample < 32
         or (blocksize & (blocksize - 1)) != 0
         or blocksize % 64 != 0
     ):

@@ -268,14 +268,21 @@ class RasterFLACConverter:
         is a sequential host hash over raw samples; use encode_array if it
         is required).
 
-        Falls back to encode_array (one host pull) for dtypes outside the
-        in-graph shift lane (float and 32-bit rasters: the device planner
-        is int32, bps <= 26) and for minmax mode.
+        In-graph lanes: every integer dtype of the lossless shift mode
+        (uint8..int32 -- 32-bps streams plan on device via ops/wide_codec)
+        plus the float32 bit-fold (the order-preserving involution of
+        ops/normalization._float_bits_fold, run as a device bitcast).
+        Falls back to encode_array (one host pull) only for float64 (the
+        channel-doubling bit-split needs host f64 views) and minmax mode.
         """
         import jax
         import jax.numpy as jnp
 
-        from .ops.normalization import _SHIFT_SPECS
+        from .ops.normalization import (
+            MODE_FLOAT32_BITS,
+            MODE_SHIFT,
+            _SHIFT_SPECS,
+        )
 
         if not isinstance(data, jax.Array):
             data = jnp.asarray(np.asarray(data))
@@ -283,11 +290,8 @@ class RasterFLACConverter:
             data = data[None]
         count, height, width = data.shape
         dt = np.dtype(data.dtype)
-        if not (
-            self.lossless
-            and dt in _SHIFT_SPECS
-            and _SHIFT_SPECS[dt][0] <= 26
-        ):
+        is_f32 = dt == np.dtype(np.float32)
+        if not (self.lossless and (dt in _SHIFT_SPECS or is_f32)):
             logger.debug(
                 "encode_array_device: %s/%s outside the in-graph lane; "
                 "pulling to host", dt, "lossless" if self.lossless else "minmax",
@@ -297,15 +301,29 @@ class RasterFLACConverter:
                 nodata=nodata, compression_level=compression_level,
                 extra_comments=extra_comments,
             )
-        bps, zero = _SHIFT_SPECS[dt]
+        if is_f32:
+            bps, zero, mode = 32, 0, MODE_FLOAT32_BITS
+            # stats BEFORE folding (nan-aware, matching normalize_lossless)
+            data_min = float(jnp.nanmin(data))
+            data_max = float(jnp.nanmax(data))
+            u = jax.lax.bitcast_convert_type(data, jnp.uint32)
+            folded = jnp.where(
+                (u >> jnp.uint32(31)).astype(bool),
+                u ^ jnp.uint32(0x7FFFFFFF),
+                u,
+            )
+            data = jax.lax.bitcast_convert_type(folded, jnp.int32)
+        else:
+            (bps, zero), mode = _SHIFT_SPECS[dt], MODE_SHIFT
+            data_min, data_max = float(data.min()), float(data.max())
         interleaved = jnp.transpose(data, (1, 2, 0)).reshape(
             height * width, count
         )
         # stats for the metadata block: device reduce, two-scalar pull
         params = NormalizationParams(
-            data_min=float(data.min()), data_max=float(data.max()),
+            data_min=data_min, data_max=data_max,
             original_dtype=str(dt), bits_per_sample=bps, scale_factor=1,
-            mode="shift", zero_point=zero,
+            mode=mode, zero_point=zero,
         )
         comments = build_geospatial_comments(
             crs=crs, width=width, height=height, count=count,

@@ -161,7 +161,8 @@ def _sext(v, nbits):
     return ((vv ^ sign).astype(jnp.int32)) - sign.astype(jnp.int32)
 
 
-def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
+def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2,
+                    wide=False):
     """Parse + decode one subframe across all lanes.
 
     Args:
@@ -169,6 +170,14 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
         pos: (B,) int32 bit position of the subframe header.
         eb: (B,) int32 effective bits per sample of this channel slot.
         err: (B,) bool error accumulator.
+        wide: static -- the 32-bps lane (ops/wide_codec streams).  eb is
+            exactly 32 on every lane (the caller err-flags mid-side frames,
+            whose 33-bit side would break TOK32), so sample reads take the
+            full 32-bit word, and the predictor restore accumulates in
+            (hi, lo) limb pairs (coef * sample products reach ~2^49; the
+            narrow path's int32 accumulator stays untouched).  The Rice
+            scan itself needs no widening: TOK32 bounds every codable
+            zigzag below 2^31 regardless of bps.
     Returns:
         (signal (B, N) int32, end_pos (B,), err)
     """
@@ -261,6 +270,18 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
         def read32_2d_at(p):
             return _read32_2d(words, p)
 
+    if wide:
+        # eb == 32 everywhere: a full-width read IS the sample
+        def take_eb(v32, _eb):
+            return v32
+
+        def sext_eb(v, _eb):
+            return jax.lax.bitcast_convert_type(v, jnp.int32)
+
+    else:
+        take_eb = _take_bits
+        sext_eb = _sext
+
     hdr = (read32_at(pos) >> jnp.uint32(24)).astype(jnp.int32)
     err = err | ((hdr & 1) != 0)  # wasted bits: not emitted by our encoders
     t6 = (hdr >> 1) & 0x3F
@@ -276,14 +297,16 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
     pos0 = pos + 8
 
     # ---- constant ----------------------------------------------------------
-    const_val = _sext(_take_bits(read32_at(pos0), eb), eb)
+    const_val = sext_eb(take_eb(read32_at(pos0), eb), eb)
 
     # ---- verbatim (rare: gate the (B, N) bit-gather behind a cond) ---------
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
     def read_verbatim(_):
         vpos = pos0[:, None] + iota_n * eb[:, None]
-        return _sext(_take_bits(_read32_2d(words, vpos), eb[:, None]), eb[:, None])
+        return sext_eb(
+            take_eb(_read32_2d(words, vpos), eb[:, None]), eb[:, None]
+        )
 
     verb = jax.lax.cond(
         jnp.any(is_verb),
@@ -295,7 +318,7 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
     # ---- warmups + LPC meta ------------------------------------------------
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     wpos = pos0[:, None] + iota_m * eb[:, None]
-    warm = _sext(_take_bits(read32_2d_at(wpos), eb[:, None]), eb[:, None])
+    warm = sext_eb(take_eb(read32_2d_at(wpos), eb[:, None]), eb[:, None])
     warm = jnp.where(iota_m < order[:, None], warm, 0)
     pos_w = pos0 + order * eb
 
@@ -500,12 +523,39 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2):
         res_u, warm_u, i0 = inputs
         xs = []
         for u in range(_IIR_UNROLL):
-            acc = w[0] * cs[0]
-            for m in range(1, M):
-                acc = acc + w[m] * cs[m]
-            x_i = jnp.where(
-                i0 + u < order, warm_u[u], res_u[u] + (acc >> shift_eff)
-            )
+            if wide:
+                # coef * full-int32 sample reaches ~2^49: accumulate the
+                # 16/16-split partial products as (hi int32, lo uint32)
+                # pairs; pred's low limb is wraparound-exact for the final
+                # x = res + pred (x itself fits int32 on valid streams)
+                zi = jnp.zeros_like(w[0])
+                ah, al = zi, zi.astype(jnp.uint32)
+                bh, bl = zi, zi.astype(jnp.uint32)
+                for m in range(M):
+                    pa = (w[m] >> 16) * cs[m]
+                    pb = (w[m] & 0xFFFF) * cs[m]
+                    t = al + pa.astype(jnp.uint32)
+                    ah, al = ah + (pa >> 31) + (t < al).astype(jnp.int32), t
+                    t = bl + pb.astype(jnp.uint32)
+                    bh, bl = bh + (pb >> 31) + (t < bl).astype(jnp.int32), t
+                # (A << 16) + B, then arithmetic >> shift_eff (<= 15)
+                ah2 = (ah << 16) | (al >> jnp.uint32(16)).astype(jnp.int32)
+                al2 = al << jnp.uint32(16)
+                sl = al2 + bl
+                sh = ah2 + bh + (sl < al2).astype(jnp.int32)
+                su = shift_eff.astype(jnp.uint32)
+                pred = jax.lax.bitcast_convert_type(
+                    (sl >> su)
+                    | ((sh.astype(jnp.uint32) << jnp.uint32(1))
+                       << (jnp.uint32(31) - su)),
+                    jnp.int32,
+                )
+            else:
+                acc = w[0] * cs[0]
+                for m in range(1, M):
+                    acc = acc + w[m] * cs[m]
+                pred = acc >> shift_eff
+            x_i = jnp.where(i0 + u < order, warm_u[u], res_u[u] + pred)
             w = [x_i] + w[:-1]
             xs.append(x_i)
         return tuple(w), jnp.stack(xs)
@@ -608,14 +658,20 @@ def _decode_frames_device(
         words = windows
     B = words.shape[0]
 
+    wide = bps > 26  # device_codec.MAX_DEVICE_BPS: the 32-bps pair lane
     hdr32 = _read32(words, bit_base)
     chan_code = ((hdr32 >> jnp.uint32(4)) & jnp.uint32(0xF)).astype(jnp.int32)
     err = chan_code > 10
-    if C == 2:
+    if C == 2 and not wide:
         side0 = (chan_code == 9).astype(jnp.int32)          # right/side
         side1 = ((chan_code == 8) | (chan_code == 10)).astype(jnp.int32)
         ch_bps = jnp.stack([bps + side0, bps + side1])       # (C, B)
         err = err | ((chan_code <= 7) & (chan_code != 1))
+    elif C == 2:
+        # wide: a mid-side frame's 33-bit side channel cannot appear in our
+        # streams (TOK32); foreign ones fall back to the host decoder
+        ch_bps = jnp.full((C, B), bps, jnp.int32)
+        err = err | (chan_code != 1)
     else:
         ch_bps = jnp.full((C, B), bps, jnp.int32)
         err = err | (chan_code != C - 1)
@@ -623,7 +679,7 @@ def _decode_frames_device(
     if C == 1:
         sig, end, err = _parse_subframe(
             words, sf_start[:, 0], ch_bps[0], err, N=N,
-            row_gather=row_gather, nrow=nrow,
+            row_gather=row_gather, nrow=nrow, wide=wide,
         )
         return sig[:, :, None], err
 
@@ -632,7 +688,7 @@ def _decode_frames_device(
     ebC = ch_bps.reshape(C * B)
     sigC, endC, errC = _parse_subframe(
         wordsC, posC, ebC, jnp.tile(err, C), N=N,
-        row_gather=row_gather, nrow=nrow,
+        row_gather=row_gather, nrow=nrow, wide=wide,
     )
     sigs = sigC.reshape(C, B, N)
     err = errC.reshape(C, B).any(axis=0)

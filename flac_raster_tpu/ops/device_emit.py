@@ -196,11 +196,25 @@ def plan_and_emit(
     assert (1 << log2n) == N
     if n_words is None:
         n_words = worst_case_words(F, C, N, bps + (1 if mid_side else 0))
-    # fused normalization: raw dtype -> int32 PCM (shift mode)
-    x = x.astype(jnp.int32) - jnp.int32(zero_point)
+    wide = bps > device_codec.MAX_DEVICE_BPS  # 32-bps lane (ops/wide_codec)
+    # fused normalization: raw dtype -> int32 PCM (shift mode).  The
+    # subtraction runs as uint32 wraparound so the uint32 dtype's
+    # zero_point (2^31) is exact; for every narrower dtype this equals the
+    # old int32 subtraction bit-for-bit (two's complement).
+    if x.dtype == jnp.uint32:
+        x = jax.lax.bitcast_convert_type(x, jnp.int32)
+    else:
+        x = x.astype(jnp.int32)
+    if zero_point:
+        x = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(x, jnp.uint32)
+            - jnp.uint32(zero_point & 0xFFFFFFFF),
+            jnp.int32,
+        )
 
     if mid_side:
         assert C == 2, "mid_side requires 2 channels"
+        assert not wide, "mid_side side channel would exceed 32 bits"
         L, R = x[:, 0], x[:, 1]
         var = jnp.stack([L, R, (L + R) >> 1, L - R], axis=1)   # (F, 4, N)
         bps_arr = jnp.tile(
@@ -244,7 +258,10 @@ def plan_and_emit(
         sf_bits = plan["subframe_bits"]
         residual = plan["residual"]
     else:
-        plan = plan_blocks(
+        _plan = plan_blocks
+        if wide:
+            from .wide_codec import plan_blocks_wide as _plan
+        plan = _plan(
             x.reshape(F * C, N),
             blocksize=blocksize,
             bps=bps,
@@ -270,7 +287,10 @@ def plan_and_emit(
     is_lpc = kind == KIND_LPC
     is_verb = kind == KIND_VERBATIM
     is_const = kind == KIND_CONSTANT
-    bmask = (jnp.int32(1) << ch_bps) - 1  # (F, C); device bps <= 26 < 31
+    # (F, C) uint32 sample mask; the uint32 form is exact at ch_bps == 32
+    # (the wide lane) where an int32 1 << 32 would be undefined
+    bmask = jnp.uint32(0xFFFFFFFF) >> (32 - ch_bps).astype(jnp.uint32)
+    xu = jax.lax.bitcast_convert_type(x, jnp.uint32)
 
     # ---- layout ----------------------------------------------------------
     frame0 = jnp.asarray(frame0, jnp.int32)
@@ -335,7 +355,7 @@ def plan_and_emit(
     j8 = jax.lax.broadcasted_iota(jnp.int32, (F, C, MAX_ORDER_SLOTS), 2)
     wu_used = (j8 < order[:, :, None]) & is_rice[:, :, None]
     j8w = jnp.minimum(j8, jnp.maximum(order - 1, 0)[:, :, None])
-    wu_vals = (x[:, :, :MAX_ORDER_SLOTS] & bmask[:, :, None]).astype(jnp.uint32)
+    wu_vals = xu[:, :, :MAX_ORDER_SLOTS] & bmask[:, :, None]
     lpc_base = sf_start + 8 + order * ch_bps
     cf_used = (j8 < order[:, :, None]) & is_lpc[:, :, None]
     prec_mask = (jnp.int32(1) << precision) - 1
@@ -343,7 +363,7 @@ def plan_and_emit(
 
     sub_v = [
         (type_code << 1).astype(jnp.uint32),                 # subframe header
-        (x[:, :, 0] & bmask).astype(jnp.uint32),             # constant value
+        xu[:, :, 0] & bmask,                                 # constant value
         jnp.where(wu_used, wu_vals, 0),                      # warmups
         jnp.where(is_lpc, precision - 1, 0).astype(jnp.uint32),
         jnp.where(is_lpc, shift & 0x1F, 0).astype(jnp.uint32),
@@ -409,7 +429,7 @@ def plan_and_emit(
     tok_v = jnp.where(
         rice_tok,
         (jnp.uint32(1) << ku) | rem,
-        (x & bmask[:, :, None]).astype(jnp.uint32),
+        xu & bmask[:, :, None],
     )
     tok_l = jnp.where(
         rice_tok, 1 + k, jnp.where(is_verb[:, :, None], ch_bps[:, :, None], 0)

@@ -7,8 +7,17 @@ here instead.  Same search space, same exact bit accounting, same plan
 schema, so codec/fast_encoder's vectorized emitter consumes either planner's
 output unchanged; all arithmetic is int64/uint64 numpy.
 
-Differences from the device planner (both valid FLAC, possibly different
-bytes):
+Byte identity with the device wide planner (ops/wide_codec) on the CPU
+mesh: the integer halves agree because integer arithmetic is exact in both
+(int64 numpy here, int32 limb pairs there), and the LPC float stage is ONE
+shared jitted float32 function (``wide_codec.lpc_qc_f32``) -- the same
+discipline that keeps the narrow native planner byte-identical
+(ops/native_planner).  ``_lpc_qc`` below runs it on the CPU backend when
+one is initialized (the test mesh, any CPU-default box) and on the default
+backend otherwise (the axon box pins JAX_PLATFORMS=axon, so "host" wide
+planning there rides the same device the rest of the pipeline uses).
+
+Remaining search-space notes (both valid FLAC):
   * Rice parameters search the full 5-bit range (k <= 30) -- wide residuals
     need large k and int64 costs are free on host.
   * LPC needs no overflow guard (int64 accumulator), but candidates whose
@@ -29,8 +38,6 @@ from .device_codec import (
     MAX_RICE_TOKEN_BITS,
     PART_SLOTS,
 )
-from . import lpc as lpc_ops
-
 __all__ = ["plan_blocks_host"]
 
 _KMAX = 30
@@ -147,37 +154,34 @@ def plan_blocks_host(
     order = max_lpc_order
     precision = 15
 
-    def _lpc_candidate(window: np.ndarray):
-        xf = x.astype(np.float64) * window[None, :]
-        rr = np.empty((B, order + 1))
-        for lag in range(order + 1):
-            rr[:, lag] = np.einsum("bi,bi->b", xf[:, : N - lag], xf[:, lag:])
-        # batched Levinson-Durbin
-        a = np.zeros((B, order))
-        err = rr[:, 0].copy()
-        for i in range(order):
-            acc = rr[:, i + 1] - (
-                np.einsum("bj,bj->b", a[:, :i], rr[:, i:0:-1]) if i else 0.0
+    def _lpc_qc(wname: str):
+        """Shared float32 LPC stage (see module docstring); CPU-pinned when
+        a CPU backend exists so the test mesh gets deterministic bytes."""
+        import jax
+
+        from .wide_codec import lpc_qc_f32
+
+        x_f32 = x.astype(np.float32)
+        try:
+            cpu = jax.devices("cpu")[0]
+        except Exception:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                qc_j, shift_j = lpc_qc_f32(
+                    x_f32, order=order, precision=precision, wname=wname
+                )
+        else:  # pragma: no cover - axon-pinned box
+            qc_j, shift_j = lpc_qc_f32(
+                x_f32, order=order, precision=precision, wname=wname
             )
-            kref = np.where(err > 0, acc / np.where(err > 0, err, 1.0), 0.0)
-            a[:, :i] = a[:, :i] - kref[:, None] * a[:, :i][:, ::-1]
-            a[:, i] = kref
-            err *= 1.0 - kref * kref
-        cmax = np.abs(a).max(axis=1)
-        safe_cmax = np.where(cmax > 0, cmax, 1.0)
-        shift = np.clip(
-            precision - 1 - np.floor(np.log2(safe_cmax)).astype(np.int64) - 1, 0, 15
+        return (
+            np.asarray(qc_j).astype(np.int64),
+            np.asarray(shift_j).astype(np.int64),
         )
-        shift = np.where(cmax > 0, shift, 0)
-        scale = (np.int64(1) << shift).astype(np.float64)
-        qmax, qmin = (1 << (precision - 1)) - 1, -(1 << (precision - 1))
-        qc = np.empty((B, order), np.int64)
-        e = np.zeros(B)
-        for j in range(order):
-            val = a[:, j] * scale + e
-            qj = np.clip(np.round(val), qmin, qmax)
-            e = val - qj
-            qc[:, j] = qj.astype(np.int64)
+
+    def _lpc_candidate(wname: str):
+        qc, shift = _lpc_qc(wname)
         acc = np.zeros((B, N), np.int64)
         for j in range(order):
             acc[:, j + 1 :] += qc[:, j : j + 1] * x[:, : N - j - 1]
@@ -194,12 +198,7 @@ def plan_blocks_host(
         return qc, shift, r_lpc, method_l, po_l, ks_l, lpc_bits
 
     if use_lpc and order > 0:
-        from .device_codec import apodization_window
-
-        cands = [
-            _lpc_candidate(apodization_window(w, N).astype(np.float64))
-            for w in apodizations
-        ]
+        cands = [_lpc_candidate(w) for w in apodizations]
         qc, shift, r_lpc, method_l, po_l, ks_l, lpc_bits = cands[0]
         for qc2, s2, r2, m2, p2, k2, b2 in cands[1:]:
             pick = b2 < lpc_bits
@@ -245,6 +244,11 @@ def plan_blocks_host(
     has_resid = (kind == KIND_FIXED) | (kind == KIND_LPC)
     qc_pad = np.zeros((B, MAX_ORDER_SLOTS), np.int64)
     qc_pad[:, : qc.shape[1]] = qc
+    # residuals are meaningful only on Rice-coded lanes (emitters gate on
+    # kind); zeroing the rest keeps the plan int32-exact for the device
+    # wide planner's byte-identity contract (verbatim lanes can carry
+    # >=2^31 garbage here)
+    resid = np.where(has_resid[:, None], resid, 0)
     return dict(
         kind=kind,
         order=order_out,
