@@ -189,6 +189,12 @@ def _show_flac_info(path: Path) -> None:
     print(f"  Bits/Sample: {si.bits_per_sample}")
     print(f"  Total Samples: {si.total_samples}")
     print(f"  File Size: {path.stat().st_size / 1e6:.2f} MB")
+    if si.md5 == b"\x00" * 16:
+        # the spec reserves all-zero for "MD5 unset"; our TPU-egress path
+        # (converter.encode_array_device) writes it -- see docs/FORMATS.md
+        print("  MD5: unset (device-egress file; frame CRCs still verify)")
+    else:
+        print(f"  MD5: {si.md5.hex()}")
     from .models.flac_format import parse_layout_block
 
     layout = parse_layout_block(blocks)
