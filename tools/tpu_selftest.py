@@ -81,9 +81,10 @@ def main() -> int:
     pd = {k: np.asarray(v) for k, v in plan_blocks(
         jnp.asarray(x), blocksize=N, bps=18).items()}
     ph = plan_blocks_host(x.astype(np.int64), blocksize=N, bps=18)
-    # the searches use different float precisions (f32 vs f64 LPC), so byte
-    # identity is not expected; the EXACT-accounting invariant is: both
-    # plans' subframe_bits are self-consistent and within 1% of each other
+    # the searches differ structurally (estimated-order f32 LPC + KMAX 20 on
+    # device vs fixed-order LPC + KMAX 30 on host), so byte identity is not
+    # expected; the EXACT-accounting invariant is: both plans'
+    # subframe_bits are self-consistent and within 1% of each other
     rel = np.abs(pd["subframe_bits"].astype(np.int64) - ph["subframe_bits"]) / ph["subframe_bits"]
     ok2 = float(rel.max()) < 0.01
     print(f"2. device vs host planner bit accounting (max rel diff "
@@ -144,7 +145,32 @@ def main() -> int:
         print(f"4. decode_flac_device ({label}) == host decoder samples: "
               f"{'OK' if okm else 'FAIL'}")
 
-    return 0 if (ok1 and ok2 and ok3 and ok4) else 1
+    # --- 5. wide (32-bps) lane: encode round-trip + device decode --------
+    # On the CPU mesh the wide planner is byte-identical to the host
+    # planner (tests/test_wide_codec.py); on real TPUs the shared f32 LPC
+    # stage may round differently inside the fused executable, so the
+    # hardware contract is the same as check 3: exact round-trip + size
+    # parity, plus exact device decode of a host-encoded wide stream.
+    tw = np.arange(6 * 4096 + 321)
+    xw = np.clip(
+        1.1e9 * np.sin(tw / 180.0) + 4e7 * np.sin(tw / 11.0)
+        + rng.integers(-2000, 2000, tw.size),
+        -(1 << 31), (1 << 31) - 1,
+    ).astype(np.int32)[:, None]
+    dev_w = encode_flac_device(xw, 44100, 32, 5)
+    fast_w = encode_flac_fast(xw, 44100, 32, 5)
+    dw = decode_flac(dev_w, verify_crc=True, verify_md5=True)
+    ok5 = (
+        np.array_equal(np.asarray(dw.samples), xw)
+        and abs(len(dev_w) - len(fast_w)) <= 0.005 * len(fast_w)
+    )
+    dev_dw = decode_flac_device(fast_w, verify_crc=True)
+    ok5 = ok5 and np.array_equal(np.asarray(dev_dw.samples), xw)
+    identw = "byte-identical" if dev_w == fast_w else "byte-divergent (valid)"
+    print(f"5. wide 32-bps device encode+decode ({identw}, "
+          f"{len(dev_w)} vs {len(fast_w)} B): {'OK' if ok5 else 'FAIL'}")
+
+    return 0 if (ok1 and ok2 and ok3 and ok4 and ok5) else 1
 
 
 if __name__ == "__main__":
