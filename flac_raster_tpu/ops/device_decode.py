@@ -162,7 +162,7 @@ def _sext(v, nbits):
 
 
 def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2,
-                    wide=False):
+                    wide=False, scan_impl="xla"):
     """Parse + decode one subframe across all lanes.
 
     Args:
@@ -393,6 +393,45 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2,
             (base_n >> jnp.uint32(1)) >> (jnp.uint32(31) - nb)
         )
 
+    # Pallas scan mode: the whole realign + code group runs as ONE
+    # VMEM-resident kernel per step (ops/pallas_rice_scan).  Measured
+    # SLIGHTLY SLOWER than the XLA scan on v5e (64.9 vs 60.8 ms/chunk --
+    # the per-step XLA glue + launch overhead eats the in-kernel gain),
+    # so this is an A/B path, not a default.  The per-lane row gather
+    # stays here (XLA prices it per row); arithmetic is bit-identical
+    # (tests/test_pallas_rice_scan.py).
+    if scan_impl != "xla" and row_mode:
+        from .pallas_rice_scan import rice_group_step
+
+        def rice_step_pallas(carry, j0):
+            cpos, k, cerr = carry
+            wi = cpos >> 5
+            r0 = jnp.clip(wi // _RW, 0, W // _RW - nrow)
+            rows = jnp.take(
+                m_rows,
+                (r0[:, None] + iota_nrow[None, :]) + lane_rows[:, None],
+                axis=0,
+            )
+            rows_t = rows.reshape(B, row_words).T
+            zs, adv, k2, err2 = rice_group_step(
+                rows_t, wi - r0 * _RW, cpos & 31, k, cerr, is_rice,
+                order + j0, n_codes - j0, j0 == 0, pbits, psize_mask,
+                group=group, align_words=align_words,
+                interpret=(scan_impl == "interpret"),
+            )
+            return (cpos + adv, k2, err2), zs
+
+        (rend, _, err), zs = jax.lax.scan(
+            rice_step_pallas,
+            (rstart, jnp.zeros(B, jnp.int32), err),
+            jnp.arange(n_steps, dtype=jnp.int32) * group,
+        )
+        zs = zs.reshape(n_steps * group, B)[:N].T
+        return _finish_subframe(
+            zs, order, coefs, shift_eff, warm, is_const, const_val, is_verb,
+            verb, iota_n, pos0, eb, rend, err, N=N, M=M, wide=wide,
+        )
+
     def rice_step(carry, j0):
         cpos, k, cerr = carry
         if row_mode:
@@ -495,7 +534,17 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2,
         jnp.arange(n_steps, dtype=jnp.int32) * group,
     )
     zs = zs.reshape(n_steps * group, B)[:N].T  # (B, N): code j per lane
+    return _finish_subframe(
+        zs, order, coefs, shift_eff, warm, is_const, const_val, is_verb,
+        verb, iota_n, pos0, eb, rend, err, N=N, M=M, wide=wide,
+    )
 
+
+def _finish_subframe(zs, order, coefs, shift_eff, warm, is_const, const_val,
+                     is_verb, verb, iota_n, pos0, eb, rend, err, *, N, M,
+                     wide):
+    """Shared post-scan tail: residual place, predictor restore, select."""
+    B = zs.shape[0]
     # place code j at sample order + j: order is 0..M, so the per-lane shift
     # becomes an (M+1)-way select over statically shifted copies -- all
     # dense VPU work (a take_along_axis here ran at ~10M elem/s on v5e)
@@ -587,13 +636,21 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2,
 def decode_frames_device(
     windows, bit_base, sf_start, *, C: int, bps: int, N: int,
     row_gather: "bool | None" = None, nrow: "int | None" = None,
+    scan_impl: "str | None" = None,
 ):
     """Resolve the trace-time mode knobs, then dispatch to the jitted body.
 
     ``nrow`` (rice-scan row window width) defaults to the hardware-swept
-    optimum per backend; FRTPU_DECODE_NROW overrides.  Resolution happens
-    OUTSIDE the jit so the cache is keyed on the concrete values (an env
-    read inside the traced body would go stale when the env changes).
+    optimum per backend; FRTPU_DECODE_NROW overrides.  ``scan_impl``
+    selects the Rice chain engine: ``xla`` (the pure-XLA scan -- the
+    default everywhere: on v5e it measured 60.8 ms/chunk vs the Mosaic
+    group-step kernel's 64.9, see docs/PERFORMANCE.md), ``pallas`` (the
+    VMEM-resident Mosaic kernel, ops/pallas_rice_scan; kept for hardware
+    A/B and as the base of the in-kernel-scan work), or ``interpret``
+    (the kernel under the Pallas interpreter: bit-identity tests on the
+    CPU mesh).  FRTPU_DECODE_SCAN overrides.  Resolution happens OUTSIDE
+    the jit so the cache is keyed on the concrete values (an env read
+    inside the traced body would go stale when the env changes).
     """
     if nrow is None:
         env = __import__("os").environ.get("FRTPU_DECODE_NROW")
@@ -608,18 +665,25 @@ def decode_frames_device(
         # dense realign/shift work -- a net win on TPU, a net loss where
         # gathers are cheap (the CPU test mesh)
         row_gather = jax.default_backend() != "cpu"
+    if scan_impl is None:
+        scan_impl = __import__("os").environ.get("FRTPU_DECODE_SCAN")
+    if scan_impl is None:
+        scan_impl = "xla"  # measured fastest on v5e too (see docstring)
+    if scan_impl not in ("xla", "pallas", "interpret"):
+        raise ValueError(f"unknown scan_impl {scan_impl!r}")
     return _decode_frames_device(
         windows, bit_base, sf_start, C=C, bps=bps, N=N,
-        row_gather=row_gather, nrow=nrow,
+        row_gather=row_gather, nrow=nrow, scan_impl=scan_impl,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("C", "bps", "N", "row_gather", "nrow")
+    jax.jit,
+    static_argnames=("C", "bps", "N", "row_gather", "nrow", "scan_impl"),
 )
 def _decode_frames_device(
     windows, bit_base, sf_start, *, C: int, bps: int, N: int,
-    row_gather: bool, nrow: int,
+    row_gather: bool, nrow: int, scan_impl: str = "xla",
 ):
     """Decode a batch of full FLAC frames on device.
 
@@ -680,6 +744,7 @@ def _decode_frames_device(
         sig, end, err = _parse_subframe(
             words, sf_start[:, 0], ch_bps[0], err, N=N,
             row_gather=row_gather, nrow=nrow, wide=wide,
+            scan_impl=scan_impl,
         )
         return sig[:, :, None], err
 
@@ -689,6 +754,7 @@ def _decode_frames_device(
     sigC, endC, errC = _parse_subframe(
         wordsC, posC, ebC, jnp.tile(err, C), N=N,
         row_gather=row_gather, nrow=nrow, wide=wide,
+        scan_impl=scan_impl,
     )
     sigs = sigC.reshape(C, B, N)
     err = errC.reshape(C, B).any(axis=0)

@@ -172,25 +172,28 @@ def main() -> int:
     print(f"gather windows DMA (B={B}, {out_rows * pg.ROW_WORDS} words): "
           f"{dt*1e3:8.1f} ms/chunk x{n_chunks}")
 
-    # full frame decode kernel: row-gather rice scan vs element-gather A/B
+    # full frame decode kernel A/B: Pallas scan vs XLA row-gather vs element
     chunk_mb = B * N * C * 2 / 1e6
+    variants = [
+        ("row ", dict(row_gather=True, scan_impl="xla")),
+        ("elem", dict(row_gather=False, scan_impl="xla")),
+    ]
+    if jax.default_backend() != "cpu":
+        variants.insert(0, ("plls", dict(row_gather=True, scan_impl="pallas")))
     out = None
-    for mode in (True, False):
-        o, err = dd.decode_frames_device(
-            windows, bb, sf, C=C, bps=16, N=N, row_gather=mode
-        )
+    for label, kw in variants:
+        o, err = dd.decode_frames_device(windows, bb, sf, C=C, bps=16, N=N, **kw)
         if out is None:
             out = np.asarray(o)
         else:
-            assert np.array_equal(np.asarray(o), out), "mode mismatch"
+            assert np.array_equal(np.asarray(o), out), f"mode mismatch: {label}"
         dt = timeit(
             lambda: sync(
                 dd.decode_frames_device(
-                    windows, bb, sf, C=C, bps=16, N=N, row_gather=mode
+                    windows, bb, sf, C=C, bps=16, N=N, **kw
                 )[0]
             )
         )
-        label = "row " if mode else "elem"
         print(f"decode_frames_device ({label}): {dt*1e3:8.1f} ms/chunk  "
               f"{chunk_mb/dt:7.1f} MB/s raw ({chunk_mb:.1f} MB/chunk)")
     return 0
