@@ -162,7 +162,7 @@ def _sext(v, nbits):
 
 
 def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2,
-                    wide=False, scan_impl="xla"):
+                    wide=False, scan_impl="xla", scan2=None):
     """Parse + decode one subframe across all lanes.
 
     Args:
@@ -393,14 +393,33 @@ def _parse_subframe(words, pos, eb, err, *, N, row_gather=True, nrow=2,
             (base_n >> jnp.uint32(1)) >> (jnp.uint32(31) - nb)
         )
 
-    # Pallas scan mode: the whole realign + code group runs as ONE
+    # Pallas full-scan mode (ops/pallas_rice_scan2): the ENTIRE Rice chain
+    # runs as one Mosaic program -- windows VMEM-resident across steps,
+    # carries in scratch, zero per-step XLA ops.  scan2 carries the
+    # statically resolved (nrow, group, lane_tile).
+    if scan_impl in ("pallas2", "interpret2") and row_mode and scan2:
+        from .pallas_rice_scan2 import rice_scan_full
+
+        nrow2, group2, lane2 = scan2
+        zs2, rend2, err2 = rice_scan_full(
+            words, rstart, err, is_rice, order, n_codes, pbits, psize_mask,
+            N=N, nrow=nrow2, group=group2, lane_tile=lane2,
+            interpret=(scan_impl == "interpret2"),
+        )
+        return _finish_subframe(
+            zs2, order, coefs, shift_eff, warm, is_const, const_val,
+            is_verb, verb, iota_n, pos0, eb, rend2, err2, N=N, M=M,
+            wide=wide,
+        )
+
+    # Pallas group-step mode: one step's realign + code group runs as ONE
     # VMEM-resident kernel per step (ops/pallas_rice_scan).  Measured
     # SLIGHTLY SLOWER than the XLA scan on v5e (64.9 vs 60.8 ms/chunk --
     # the per-step XLA glue + launch overhead eats the in-kernel gain),
     # so this is an A/B path, not a default.  The per-lane row gather
     # stays here (XLA prices it per row); arithmetic is bit-identical
     # (tests/test_pallas_rice_scan.py).
-    if scan_impl != "xla" and row_mode:
+    if scan_impl in ("pallas", "interpret") and row_mode:
         from .pallas_rice_scan import rice_group_step
 
         def rice_step_pallas(carry, j0):
@@ -669,21 +688,33 @@ def decode_frames_device(
         scan_impl = __import__("os").environ.get("FRTPU_DECODE_SCAN")
     if scan_impl is None:
         scan_impl = "xla"  # measured fastest on v5e too (see docstring)
-    if scan_impl not in ("xla", "pallas", "interpret"):
+    if scan_impl not in ("xla", "pallas", "interpret", "pallas2",
+                         "interpret2"):
         raise ValueError(f"unknown scan_impl {scan_impl!r}")
+    scan2 = None
+    if scan_impl in ("pallas2", "interpret2"):
+        from .pallas_rice_scan2 import scan2_params
+
+        W = (windows.shape[1] // 4 if windows.dtype == jnp.uint8
+             else windows.shape[1])
+        scan2 = scan2_params(W)
+        if scan2 is None:  # shape the kernel can't tile: XLA scan instead
+            scan_impl = "xla"
     return _decode_frames_device(
         windows, bit_base, sf_start, C=C, bps=bps, N=N,
-        row_gather=row_gather, nrow=nrow, scan_impl=scan_impl,
+        row_gather=row_gather, nrow=nrow, scan_impl=scan_impl, scan2=scan2,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("C", "bps", "N", "row_gather", "nrow", "scan_impl"),
+    static_argnames=(
+        "C", "bps", "N", "row_gather", "nrow", "scan_impl", "scan2"
+    ),
 )
 def _decode_frames_device(
     windows, bit_base, sf_start, *, C: int, bps: int, N: int,
-    row_gather: bool, nrow: int, scan_impl: str = "xla",
+    row_gather: bool, nrow: int, scan_impl: str = "xla", scan2=None,
 ):
     """Decode a batch of full FLAC frames on device.
 
@@ -744,7 +775,7 @@ def _decode_frames_device(
         sig, end, err = _parse_subframe(
             words, sf_start[:, 0], ch_bps[0], err, N=N,
             row_gather=row_gather, nrow=nrow, wide=wide,
-            scan_impl=scan_impl,
+            scan_impl=scan_impl, scan2=scan2,
         )
         return sig[:, :, None], err
 
@@ -754,7 +785,7 @@ def _decode_frames_device(
     sigC, endC, errC = _parse_subframe(
         wordsC, posC, ebC, jnp.tile(err, C), N=N,
         row_gather=row_gather, nrow=nrow, wide=wide,
-        scan_impl=scan_impl,
+        scan_impl=scan_impl, scan2=scan2,
     )
     sigs = sigC.reshape(C, B, N)
     err = errC.reshape(C, B).any(axis=0)

@@ -1,11 +1,14 @@
-"""Pallas Rice-scan kernel bit-identity (ops/pallas_rice_scan).
+"""Pallas Rice-scan kernel bit-identity (ops/pallas_rice_scan[2]).
 
-The Mosaic group-step kernel is an A/B alternative to the XLA rice_step
-formulation (FRTPU_DECODE_SCAN=pallas).  On the CPU test mesh it runs
-under the Pallas interpreter (scan_impl="interpret"); every case must decode
-bit-identically to the pure-XLA scan AND to the original samples.  The
-reference decodes through libFLAC's sequential host bitreader
-(reference converter.py:181-182) -- no counterpart kernel exists there.
+Two Mosaic engines exist as alternatives to the XLA rice_step formulation:
+the group-step kernel (FRTPU_DECODE_SCAN=pallas, one kernel call per scan
+step) and the full-scan kernel (=pallas2, the whole chain in one Pallas
+program with VMEM-resident windows).  On the CPU test mesh they run under
+the Pallas interpreter (scan_impl="interpret"/"interpret2"); every case
+must decode bit-identically to the pure-XLA scan AND to the original
+samples.  The reference decodes through libFLAC's sequential host
+bitreader (reference converter.py:181-182) -- no counterpart kernel
+exists there.
 """
 
 import numpy as np
@@ -17,10 +20,10 @@ from flac_raster_tpu.codec.device_decoder import decode_flac_device
 N = 256
 
 
-def _roundtrip(x, bps, level, monkeypatch):
+def _roundtrip(x, bps, level, monkeypatch, engine="interpret"):
     blob = encode_flac_fast(x, 44100, bps, level, blocksize=N)
     monkeypatch.setenv("FRTPU_DECODE_ROW", "1")
-    monkeypatch.setenv("FRTPU_DECODE_SCAN", "interpret")
+    monkeypatch.setenv("FRTPU_DECODE_SCAN", engine)
     dev = decode_flac_device(blob, verify_crc=True, verify_md5=True)
     got = np.asarray(dev.samples)
     assert np.array_equal(got.astype(np.int64), x.astype(np.int64))
@@ -68,3 +71,27 @@ def test_pallas_scan_kernel_unit(rng, monkeypatch):
     right = left + rng.integers(-5, 6, n)
     x = np.clip(np.stack([left, right], 1), -30000, 30000).astype(np.int32)
     _roundtrip(x, 16, 5, monkeypatch)
+
+
+@pytest.mark.parametrize("case", ["midside", "tail3ch", "bps24", "constverb"])
+def test_pallas_scan2_full(rng, case, monkeypatch):
+    """Full-scan kernel (pallas2): same coverage classes, one engine run."""
+    if case == "midside":
+        n = N * 4
+        left = np.cumsum(rng.integers(-30, 31, n))
+        right = left + rng.integers(-5, 6, n)
+        x = np.clip(np.stack([left, right], 1), -30000, 30000).astype(np.int32)
+        bps = 16
+    elif case == "tail3ch":
+        base = np.cumsum(rng.integers(-50, 51, (N * 5 + 77, 3)), axis=0)
+        x = np.clip(base, -30000, 30000).astype(np.int32)
+        bps = 16
+    elif case == "bps24":
+        x = rng.integers(-(1 << 23), 1 << 23, (N * 3, 2)).astype(np.int64)
+        bps = 24
+    else:
+        x = np.zeros((N * 3, 2), np.int32)
+        x[:N] = 1234
+        x[N : 2 * N] = rng.integers(-32000, 32000, (N, 2))
+        bps = 16
+    _roundtrip(x, bps, 5, monkeypatch, engine="interpret2")

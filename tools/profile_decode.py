@@ -180,6 +180,7 @@ def main() -> int:
     ]
     if jax.default_backend() != "cpu":
         variants.insert(0, ("plls", dict(row_gather=True, scan_impl="pallas")))
+        variants.insert(0, ("pls2", dict(row_gather=True, scan_impl="pallas2")))
     out = None
     for label, kw in variants:
         o, err = dd.decode_frames_device(windows, bb, sf, C=C, bps=16, N=N, **kw)
