@@ -121,11 +121,17 @@ def _scan_kernel(nrow, group, align_words, R,
         z = jnp.zeros((nw, L), jnp.uint32)
         return jnp.concatenate([arr[nw:], z], axis=0)
 
-    # word realign (staged shifts on woff's bits), then bit align to cpos
+    # word realign (staged shifts on woff's bits), then bit align to cpos.
+    # After each stage at most ``rem`` more words (+1 for the bit stage)
+    # can still shift in, so the tail rows beyond align_words+1+rem+1 are
+    # dead and sliced off -- the stage shifts shrink 64->52->44->... rows.
     woff = wi - (r0 << 5)
+    rem = 31
     s = 16
     while s:
         wa = jnp.where((woff & s) != 0, shl_words(wa, s), wa)
+        rem -= s
+        wa = wa[: align_words + 1 + rem + 1]
         s >>= 1
     sh = (cpos & 31).astype(jnp.uint32)
     w1 = shl_words(wa, 1)
@@ -175,7 +181,15 @@ def _scan_kernel(nrow, group, align_words, R,
         n_bits = jnp.where(active, pb + q + 1 + k, 0)
         adv = adv + n_bits
         if g < group - 1:
-            wa = shl_bits(wa, n_bits)
+            # Triangle shrink: codes g+1..group-1 reference at most
+            # 37*(group-2-g) + 96 bits past the new cursor (37 = TOK32 max
+            # incl. partition parameter, 96 = the 3-word a/b/c read), so
+            # the rows beyond that are dead -- the shift window shrinks
+            # linearly across the group, roughly halving shift work.
+            # (Corrupt streams can consume >37 bits/code; they flag ``err``
+            # and the caller host-falls-back, so truncated reads are fine.)
+            need = -(-(37 * (group - 2 - g) + 96) // 32)
+            wa = shl_bits(wa[: need + 2], n_bits)[: need]
 
     cpos = cpos + adv
     state[0:1, :] = cpos

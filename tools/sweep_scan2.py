@@ -114,8 +114,12 @@ def main() -> int:
     print(f"xla row baseline        : {dt*1e3:7.1f} ms  "
           f"{chunk_mb/dt:7.1f} MB/s raw", flush=True)
 
-    for nrow in (2, 3, 4):
-        for lanes in (128, 256, 512):
+    nrows = tuple(int(v) for v in os.environ.get(
+        "SWEEP_NROWS", "2,3,4,6,8").split(","))
+    lanes_list = tuple(int(v) for v in os.environ.get(
+        "SWEEP_LANES", "128,256").split(","))
+    for nrow in nrows:
+        for lanes in lanes_list:
             os.environ["FRTPU_SCAN2_NROW"] = str(nrow)
             os.environ["FRTPU_SCAN2_LANES"] = str(lanes)
             try:
