@@ -109,15 +109,18 @@ def decode_flac_device(
     data,
     verify_crc: bool = True,
     verify_md5: bool = False,
-    chunk_frames: int = 2048,
+    chunk_frames: "int | None" = None,
     sample_range: "tuple[int, int] | None" = None,
 ) -> DecodedStream:
     """Decode a FLAC stream with the device pipeline.
 
-    ``chunk_frames`` default: hardware sweep (512/1024/2048 on v5e,
-    2026-08-18) measured the row-mode frame decode at 234/355/478 MB/s raw
-    respectively — the relay's ~25 ms/dispatch overhead amortizes with
-    chunk size; 2048 frames ≈ 33.6 MB raw keeps buffers modest.
+    ``chunk_frames`` default: 4096 off-CPU, 2048 on the CPU test mesh
+    (FRTPU_DECODE_CHUNK overrides).  Hardware sweeps (v5e 2026-08-18/19)
+    measured the row-mode frame decode at 234/355/478 MB/s raw for
+    512/1024/2048 frames, and the pallas2 full-scan engine at 891 MB/s
+    raw at 4096 (vs 863 at 2048-equivalent batches) — the relay's ~25
+    ms/dispatch overhead amortizes with chunk size; 4096 frames ≈ 67 MB
+    raw buffers.
 
     Returns a DecodedStream whose ``samples`` is a **jax.Array** of shape
     (total_samples, channels) int32 resident on the default device.  Output
@@ -133,6 +136,13 @@ def decode_flac_device(
         raise ValueError("verify_md5 requires a full decode")
     import jax
     import jax.numpy as jnp
+
+    if chunk_frames is None:
+        env = os.environ.get("FRTPU_DECODE_CHUNK")
+        if env is not None:
+            chunk_frames = int(env)
+        else:
+            chunk_frames = 2048 if jax.default_backend() == "cpu" else 4096
 
     from ..ops.device_decode import decode_frames_device
 

@@ -661,12 +661,14 @@ def decode_frames_device(
 
     ``nrow`` (rice-scan row window width) defaults to the hardware-swept
     optimum per backend; FRTPU_DECODE_NROW overrides.  ``scan_impl``
-    selects the Rice chain engine: ``xla`` (the pure-XLA scan -- the
-    default everywhere: on v5e it measured 60.8 ms/chunk vs the Mosaic
-    group-step kernel's 64.9, see docs/PERFORMANCE.md), ``pallas`` (the
-    VMEM-resident Mosaic kernel, ops/pallas_rice_scan; kept for hardware
-    A/B and as the base of the in-kernel-scan work), or ``interpret``
-    (the kernel under the Pallas interpreter: bit-identity tests on the
+    selects the Rice chain engine: ``pallas2`` (the full-scan Mosaic
+    kernel, ops/pallas_rice_scan2 -- the off-CPU default: 75.3 ms /
+    891 MB/s raw per 4096-frame chunk on v5e vs the XLA row scan's
+    145.2, see docs/PERFORMANCE.md r4), ``xla`` (the pure-XLA scan --
+    the CPU-mesh default and the fallback for shapes the kernel can't
+    tile), ``pallas`` (the per-step Mosaic kernel, ops/pallas_rice_scan;
+    kept for hardware A/B), or ``interpret``/``interpret2``
+    (the kernels under the Pallas interpreter: bit-identity tests on the
     CPU mesh).  FRTPU_DECODE_SCAN overrides.  Resolution happens OUTSIDE
     the jit so the cache is keyed on the concrete values (an env read
     inside the traced body would go stale when the env changes).
@@ -687,7 +689,12 @@ def decode_frames_device(
     if scan_impl is None:
         scan_impl = __import__("os").environ.get("FRTPU_DECODE_SCAN")
     if scan_impl is None:
-        scan_impl = "xla"  # measured fastest on v5e too (see docstring)
+        # pallas2 off-CPU (891 vs 462 MB/s raw on v5e at 4096-frame
+        # chunks); the XLA scan on the CPU mesh (no Mosaic there, and
+        # interpret mode is orders slower)
+        scan_impl = "xla" if jax.default_backend() == "cpu" else "pallas2"
+    if scan_impl == "pallas2" and not row_gather:
+        scan_impl = "xla"  # the full-scan kernel is row-mode only
     if scan_impl not in ("xla", "pallas", "interpret", "pallas2",
                          "interpret2"):
         raise ValueError(f"unknown scan_impl {scan_impl!r}")

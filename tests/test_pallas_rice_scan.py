@@ -73,7 +73,9 @@ def test_pallas_scan_kernel_unit(rng, monkeypatch):
     _roundtrip(x, 16, 5, monkeypatch)
 
 
-@pytest.mark.parametrize("case", ["midside", "tail3ch", "bps24", "constverb"])
+@pytest.mark.parametrize(
+    "case", ["midside", "tail3ch", "bps24", "constverb", "bps32"]
+)
 def test_pallas_scan2_full(rng, case, monkeypatch):
     """Full-scan kernel (pallas2): same coverage classes, one engine run."""
     if case == "midside":
@@ -89,6 +91,11 @@ def test_pallas_scan2_full(rng, case, monkeypatch):
     elif case == "bps24":
         x = rng.integers(-(1 << 23), 1 << 23, (N * 3, 2)).astype(np.int64)
         bps = 24
+    elif case == "bps32":
+        # the wide lane (bps > 26): int64 host planner + device f32 fold
+        base = np.cumsum(rng.integers(-(1 << 20), 1 << 20, (N * 3, 1)), axis=0)
+        x = np.clip(base, -(1 << 31), (1 << 31) - 1).astype(np.int64)
+        bps = 32
     else:
         x = np.zeros((N * 3, 2), np.int32)
         x[:N] = 1234
