@@ -488,40 +488,69 @@ def plan_blocks(
 
     # --- fixed orders 0..4 ---------------------------------------------------
     fixed_rs = _fixed_residuals(x)
-    cand_bits, cand_plan = [], []
-    for order in range(5):
-        r = fixed_rs[order]
-        z = _zigzag_u32(r)
-        method, po, ks, payload, valid = _rice_search(
-            z, order, N, max_partition_order, idx
-        )
-        bits = 8 + order * bps_e + 2 + 4 + payload
-        bits = jnp.where(valid, bits, _BIG).astype(jnp.int32)
-        cand_bits.append(bits)
-        cand_plan.append((method, po, ks, r))
 
-    # --- LPC with estimated-best order (libFLAC level-5 style); levels 7-8
-    # additionally search several apodization windows and keep the cheapest
-    # (reference preset column -A, ``sonos-pyflac.txt:6910-6937``) -----------
+    # --- LPC float stage first (estimated-best order, libFLAC level-5
+    # style); levels 7-8 additionally search several apodization windows
+    # and keep the cheapest (reference preset column -A,
+    # ``sonos-pyflac.txt:6910-6937``).  The rice search for these
+    # candidates happens in the batched call below. --------------------------
     order = max_lpc_order
     precision = 15
+    if use_lpc and order > 0:
+        lpc_float = [
+            _lpc_analyze(x, bps_e, order, precision, wname)
+            for wname in apodizations
+        ]
+    else:
+        lpc_float = []
 
-    def _lpc_candidate(wname):
-        order_arr, qc, shift, lpc_safe, r_lpc = _lpc_analyze(
-            x, bps_e, order, precision, wname
-        )
-        z = _zigzag_u32(r_lpc)
-        method_l, po_l, ks_l, payload_l, valid_l = _rice_search(
-            z, order_arr, N, max_partition_order, idx
-        )
+    # --- ONE rice search for ALL candidates (5 fixed + one per
+    # apodization).  The search is row-independent integer math (exact
+    # sums -- no float re-association), so stacking candidates along the
+    # batch axis is decision- and byte-identical to searching each
+    # separately, but runs ONE Pallas cost kernel + ONE XLA level tree
+    # instead of 5 + len(apodizations) of each. -------------------------------
+    n_lpc = len(lpc_float)
+    zall = jnp.concatenate(
+        [_zigzag_u32(r) for r in fixed_rs]
+        + [_zigzag_u32(c[4]) for c in lpc_float],
+        axis=0,
+    )
+    oall = jnp.concatenate(
+        [jnp.full((B,), o, jnp.int32) for o in range(5)]
+        + [c[0] for c in lpc_float]
+    )
+    method_a, po_a, ks_a, payload_a, valid_a = _rice_search(
+        zall, oall, N, max_partition_order, idx
+    )
+
+    def _cand(a, i):
+        return a[i * B : (i + 1) * B]
+
+    cand_bits, cand_plan = [], []
+    for o in range(5):
+        payload, valid = _cand(payload_a, o), _cand(valid_a, o)
+        bits = 8 + o * bps_e + 2 + 4 + payload
+        bits = jnp.where(valid, bits, _BIG).astype(jnp.int32)
+        cand_bits.append(bits)
+        cand_plan.append((_cand(method_a, o), _cand(po_a, o), _cand(ks_a, o),
+                          fixed_rs[o]))
+
+    def _lpc_candidate(j):
+        order_arr, qc, shift, lpc_safe, r_lpc = lpc_float[j]
+        method_l = _cand(method_a, 5 + j)
+        po_l = _cand(po_a, 5 + j)
+        ks_l = _cand(ks_a, 5 + j)
+        payload_l = _cand(payload_a, 5 + j)
+        valid_l = _cand(valid_a, 5 + j)
         lpc_bits = (
             8 + order_arr * bps_e + 4 + 5 + order_arr * precision + 2 + 4 + payload_l
         )
         lpc_bits = jnp.where(valid_l & lpc_safe, lpc_bits, _BIG).astype(jnp.int32)
         return order_arr, qc, shift, r_lpc, method_l, po_l, ks_l, lpc_bits
 
-    if use_lpc and order > 0:
-        cands = [_lpc_candidate(wname) for wname in apodizations]
+    if n_lpc:
+        cands = [_lpc_candidate(j) for j in range(n_lpc)]
         order_arr, qc, shift, r_lpc, method_l, po_l, ks_l, lpc_bits = cands[0]
         for cand in cands[1:]:
             o2, q2, s2, r2, m2, p2, k2, b2 = cand
