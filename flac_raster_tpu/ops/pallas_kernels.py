@@ -4,15 +4,11 @@ The Rice parameter search is the planner's dominant compute: for every
 block, every candidate predictor, every Rice parameter k and every finest
 partition it needs ``sum(z >> k)`` and ``max(z)`` -- in pure XLA that is
 KMAX+1 separate HBM passes over the residuals per candidate
-(ops/device_codec._rice_search).  This kernel computes the whole
-(k x partition) cost table and partition maxima in ONE pass over
-VMEM-resident residuals.
+(ops/device_codec._rice_search).  This kernel computes everything the
+(k x partition) cost table needs in ONE pass over VMEM-resident residuals.
 
-Hardware profiling (tools/profile_plan_parts.py, v5e) showed the kernel is
-VPU-compute-bound, not HBM-bound: 21 shifted clamped sums cost ~1.9 ms per
-(2048, 4096) candidate and the planner runs six of them.  The 32-bit Rice
-token cap (device_codec.MAX_RICE_TOKEN_BITS) makes almost all of that work
-redundant:
+The 32-bit Rice token cap (device_codec.MAX_RICE_TOKEN_BITS) collapses the
+work:
 
   * a (k, partition) pair is only VALID when ``(zmax >> k) + 1 + k <= 32``,
     so every valid quotient obeys ``z >> k <= 31`` -- five bits;
@@ -20,12 +16,31 @@ redundant:
     (``zmax >> k >= 32`` forces a token over the cap), and the caller masks
     its cost to _BIG without ever reading the sum;
   * for ``k >= k0`` the exact sums follow from ONE per-partition base sum
-    plus the five bit-plane populations of the 5-bit quotients via
-    ``S(k+1) = (S(k) - popbit_k) / 2``.
+    plus the four low bit-plane populations of the 5-bit quotients via
+    ``S(k+1) = (S(k) - popbit_k) / 2`` (and S(k) == 0 for k >= k0 + 5,
+    since z < 2^(k0+5));
 
-So the kernel does 6 cheap reductions (base sum + 5 bit planes) instead of
-21 clamped ones and reconstructs the 21-slot table from (rows, parts)-sized
-registers.  Contract: ``sums[:, k, :]`` equals the exact ``sum(z >> k)``
+so five diagonal values S(k0)..S(k0+4) plus k0 determine the whole table.
+
+Hardware attribution (tools/sweep_cost_kernel.py, v5e, (2048, 4096)
+candidate): load + one cross-lane max reduce is ~0.07 ms -- the shipped
+cost was all in the extra reduction passes and the in-kernel 21-slot
+table scatter (105 (rows, parts) selects + 21 stores per tile).  This
+version therefore
+
+  * folds the six reductions into TWO field-packed sums when the partition
+    base fits the fields (sum q <= base*31 < 2^12 and bit-plane sums
+    <= base < 2^10, i.e. base <= 128 -- always true for the codec's
+    N=4096 / parts=64): f1 = q | b0<<12 | b1<<22, f2 = b2 | b3<<10;
+  * emits only the 5 diagonal sums + k0 as a (rows, 8, parts) block and
+    reconstructs the 21-slot table OUTSIDE the kernel with five XLA
+    selects that fuse into the caller's cost/validity arithmetic.
+
+Measured 0.85 ms vs 1.87 ms for the previous full-table kernel (2.2x);
+six candidates run per plan_blocks call, so this is ~6 ms off the ~14.5 ms
+plan stage per (2048, 4096) chunk.
+
+Contract (unchanged): ``sums[:, k, :]`` equals the exact ``sum(z >> k)``
 wherever ``k >= k0`` (superset of all valid pairs) and is 0 below -- the
 pure-jnp fallback in device_codec._rice_search still computes clamped sums
 everywhere, but the two agree bit-for-bit after the validity mask, which is
@@ -37,7 +52,9 @@ Layout: grid over row-tiles of the (B, N) residual batch; each step loads a
 partitions, and reduces along the partition-local axis on the VPU
 (pre-reshaped outside the kernel -- Mosaic cannot shape-cast 2D->3D
 vectors in-kernel; unsigned reductions and ``arith.minui`` are also
-unavailable, hence the sign-flip max and int32 quotient math).
+unavailable, hence the sign-flip max and int32 quotient math).  Larger
+row blocks measured SLOWER (maxonly 0.07 ms at rows=8 vs 0.37 at 128);
+keep the default.
 """
 
 from __future__ import annotations
@@ -58,13 +75,14 @@ KMAX_KERNEL = 20
 TOKEN_CAP = 32
 
 
-def _rice_cost_kernel(z_ref, sums_ref, zmax_ref):
-    """One grid step: cost sums + maxima for a (BLK, parts, base) tile.
+def _rice_diag_kernel(packed, z_ref, diag_ref, zmax_ref):
+    """One grid step: diagonal cost sums + maxima for a (BLK, parts, base) tile.
 
     Args:
+        packed: static -- use the two field-packed reductions (base <= 128).
         z_ref:    (BLK, parts, base) uint32 zigzag residuals in VMEM.
-        sums_ref: (BLK, KMAX+1, parts) int32 out -- exact sum(z >> k) for
-                  k >= k0(partition), 0 below (see module docstring).
+        diag_ref: (BLK, 8, parts) int32 out -- rows 0..4 are S(k0+t) =
+                  exact sum(z >> (k0+t)), row 5 is k0, rows 6..7 zero.
         zmax_ref: (BLK, parts) uint32 out.
     """
     sign = jnp.uint32(0x80000000)
@@ -83,18 +101,27 @@ def _rice_cost_kernel(z_ref, sums_ref, zmax_ref):
     # 5-bit quotients at k0 (exact: zmax >> k0 <= 31); int32 from here on
     k0b = jnp.broadcast_to(k0.astype(jnp.uint32)[:, :, None], zp.shape)
     q = jax.lax.bitcast_convert_type(zp >> k0b, jnp.int32)
-    # S(k0) and the recurrence S(k0+t+1) = (S(k0+t) - popbit_t(q)) / 2
-    s_rel = [q.sum(axis=-1)]                       # <= base * 31, int32-safe
-    for t in range(4):
-        b = ((q >> t) & 1).sum(axis=-1)
+    if packed:
+        # field-packed: sum q in [0:12), popbit0 in [12:22), popbit1 in
+        # [22:32) of f1; popbit2/popbit3 in [0:10)/[10:20) of f2.  No field
+        # overflows for base <= 128 (sums <= 128*31 < 2^12, pops <= 128).
+        f1 = q + ((q & 1) << 12) + (((q >> 1) & 1) << 22)
+        f2 = ((q >> 2) & 1) + (((q >> 3) & 1) << 10)
+        s1 = f1.sum(axis=-1)
+        s2 = f2.sum(axis=-1)
+        s0 = s1 & 0xFFF
+        pops = [(s1 >> 12) & 0x3FF, s1 >> 22, s2 & 0x3FF, s2 >> 10]
+    else:
+        s0 = q.sum(axis=-1)                        # <= base * 31, int32-safe
+        pops = [((q >> t) & 1).sum(axis=-1) for t in range(4)]
+    s_rel = [s0]
+    for b in pops:
         s_rel.append((s_rel[-1] - b) >> 1)
-    # scatter the 5 live diagonals into the 21-slot table (tiny selects)
-    for k in range(KMAX_KERNEL + 1):
-        dk = k - k0                                # (BLK, parts)
-        out = jnp.zeros_like(k0)
-        for t in range(5):
-            out = jnp.where(dk == t, s_rel[t], out)
-        sums_ref[:, k, :] = out
+    for t in range(5):
+        diag_ref[:, t, :] = s_rel[t]
+    diag_ref[:, 5, :] = k0
+    diag_ref[:, 6, :] = jnp.zeros_like(k0)
+    diag_ref[:, 7, :] = jnp.zeros_like(k0)
 
 
 @functools.partial(
@@ -126,20 +153,33 @@ def rice_cost_sums(
         rows -= 1
     grid = (B // rows,)
     z3 = z.reshape(B, parts, base)
-    return pl.pallas_call(
-        _rice_cost_kernel,
+    diag, zmax = pl.pallas_call(
+        functools.partial(_rice_diag_kernel, base <= 128),
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows, parts, base), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((rows, KMAX_KERNEL + 1, parts), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, 8, parts), lambda i: (i, 0, 0)),
             pl.BlockSpec((rows, parts), lambda i: (i, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, KMAX_KERNEL + 1, parts), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, parts), jnp.int32),
             jax.ShapeDtypeStruct((B, parts), jnp.uint32),
         ),
         interpret=interpret,
     )(z3)
+    # reconstruct the 21-slot table outside the kernel: S(k) = S(k0 + dk)
+    # for dk in [0, 4], 0 for k >= k0 + 5 (z < 2^(k0+5)) and 0 (masked
+    # invalid) below k0.  Five selects on (B, KMAX+1, parts) that XLA fuses
+    # into the caller's cost + validity arithmetic.
+    k0 = diag[:, 5, :]
+    dk = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, KMAX_KERNEL + 1, 1), 1)
+        - k0[:, None, :]
+    )
+    sums = jnp.zeros((B, KMAX_KERNEL + 1, parts), jnp.int32)
+    for t in range(5):
+        sums = jnp.where(dk == t, diag[:, t, :][:, None, :], sums)
+    return sums, zmax
