@@ -349,8 +349,14 @@ def decode_flac_device(
         # FRTPU_DECODE_ROW=0/1 forces the rice-scan gather mode (hardware
         # A/B, row-mode CI coverage); unset = backend-appropriate default
         rg_env = os.environ.get("FRTPU_DECODE_ROW")
+        # window-local frame end for the last-subframe boundary check
+        # (padded rows carry garbage and are sliced off with err[:B])
+        fe = np.zeros(Bp, np.int32)
+        fe[:B] = bit_base[:B] + (sizes[f0:f1] * 8).astype(np.int32)
+        fe[B:] = fe[0]
         samples, err = decode_frames_device(
-            windows, jnp.asarray(bit_base), jnp.asarray(sf), C=C, bps=bps, N=N,
+            windows, jnp.asarray(bit_base), jnp.asarray(sf), jnp.asarray(fe),
+            C=C, bps=bps, N=N,
             row_gather=None if rg_env is None else rg_env == "1",
         )
         errs.append(err[:B])

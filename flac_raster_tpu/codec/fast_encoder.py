@@ -757,7 +757,9 @@ def encode_flac_batch(
             len(jax.local_devices()) > 1
             and T > 0
             and n_full > 0
-            and bits_per_sample <= MAX_DEVICE_BPS
+            # narrow and wide (32-bps, ops/wide_codec) lanes both ride the
+            # mesh; 27..31 are not emittable FLAC widths (_BPS_CODES)
+            and not (MAX_DEVICE_BPS < bits_per_sample < 32)
             and (blocksize & (blocksize - 1)) == 0
             and blocksize % 64 == 0
         ):

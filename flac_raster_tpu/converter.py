@@ -254,6 +254,7 @@ class RasterFLACConverter:
         nodata: float | None = None,
         compression_level: int = 5,
         extra_comments: dict | None = None,
+        compute_md5: bool = False,
     ) -> bytes:
         """encode_array for a DEVICE-RESIDENT raster: TPU egress.
 
@@ -264,16 +265,24 @@ class RasterFLACConverter:
         COMPRESSED words cross the wire -- the raw raster never visits the
         host (the reference round-trips raw PCM through libFLAC on host,
         ``converter.py:99-180``).  Bytes are identical to encode_array on
-        the pulled array except the MD5 field, which is left unset (an MD5
-        is a sequential host hash over raw samples; use encode_array if it
-        is required).
+        the pulled array except the MD5 field, which is left unset by
+        default: an MD5 is a sequential host hash over raw samples, so
+        ``compute_md5=True`` pulls the PCM equivalent on a worker thread
+        OVERLAPPED with the compressed-word drain and patches the hash into
+        STREAMINFO -- opt-in because the pull costs ~raw-size of
+        device->host bandwidth (``flac-raster info`` distinguishes unset
+        MD5s; see docs/FORMATS.md).
 
         In-graph lanes: every integer dtype of the lossless shift mode
         (uint8..int32 -- 32-bps streams plan on device via ops/wide_codec)
         plus the float32 bit-fold (the order-preserving involution of
         ops/normalization._float_bits_fold, run as a device bitcast).
-        Falls back to encode_array (one host pull) only for float64 (the
-        channel-doubling bit-split needs host f64 views) and minmax mode.
+        float64 rasters (necessarily host arrays -- TPUs carry no f64)
+        split hi/lo into two 32-bps channels per band ON HOST (a cheap
+        elementwise bit view, ops/normalization MODE_FLOAT64_BITS) and the
+        heavy planning/emission runs through the wide device lane; NaN,
+        inf, and -0.0 round-trip exactly.  Only minmax mode falls back to
+        encode_array.
         """
         import jax
         import jax.numpy as jnp
@@ -282,7 +291,47 @@ class RasterFLACConverter:
             MODE_FLOAT32_BITS,
             MODE_SHIFT,
             _SHIFT_SPECS,
+            normalize_lossless,
         )
+
+        # float64 first: jnp.asarray under the default x64-off config would
+        # silently downcast to float32 -- never let an f64 raster hit that.
+        if np.dtype(getattr(data, "dtype", np.float32)) == np.float64:
+            if not self.lossless:
+                return self.encode_array(
+                    np.asarray(data), crs=crs, transform=transform,
+                    bounds=bounds, nodata=nodata,
+                    compression_level=compression_level,
+                    extra_comments=extra_comments,
+                )
+            arr = np.asarray(data)
+            if arr.ndim == 2:
+                arr = arr[None]
+            count, height, width = arr.shape
+            if 2 * count > 8:
+                raise ValueError(
+                    f"{count} float64 bands x 2 channels/band exceeds "
+                    "FLAC's 8-channel limit"
+                )
+            interleaved, _ = _interleave(arr)
+            # host work ends here: the exact hi/lo bit split (elementwise
+            # views); planning/emission runs on device via ops/wide_codec
+            audio, params = normalize_lossless(interleaved)
+            comments = build_geospatial_comments(
+                crs=crs, width=width, height=height, count=count,
+                dtype="float64", transform=transform,
+                bounds=bounds if bounds is not None else [],
+                data_min=params.data_min, data_max=params.data_max,
+                nodata=nodata, norm_params=params,
+            )
+            if extra_comments:
+                comments.update(extra_comments)
+            sample_rate, _ = calculate_audio_params(arr, arr.dtype)
+            return encode_flac_device(
+                audio, sample_rate, 32,
+                compression_level=compression_level, comments=comments,
+                compute_md5=compute_md5,
+            )
 
         if not isinstance(data, jax.Array):
             data = jnp.asarray(np.asarray(data))
@@ -335,11 +384,38 @@ class RasterFLACConverter:
         if extra_comments:
             comments.update(extra_comments)
         sample_rate, _ = calculate_audio_params(data, dt)
-        return encode_flac_device(
+        md5_thread = None
+        md5_box: dict = {}
+        if compute_md5:
+            # opt-in MD5 (VERDICT r4 #7): the sequential host hash pulls the
+            # PCM equivalent on a worker thread while the main thread runs
+            # the encode + word drain -- overlapped on PCIe-class links (the
+            # relay executes tunnel ops in order, so there it serializes;
+            # still correct, just not free).
+            import threading
+
+            from .codec.decoder import md5_of_samples
+
+            def _hash(arr=interleaved, zp=zero, width_=bps):
+                md5_box["md5"] = md5_of_samples(
+                    np.asarray(arr).astype(np.int64) - zp, width_
+                )
+
+            md5_thread = threading.Thread(
+                target=_hash, daemon=True, name="frtpu-md5"
+            )
+            md5_thread.start()
+        blob = encode_flac_device(
             interleaved, sample_rate, bps,
             compression_level=compression_level, comments=comments,
             compute_md5=False, zero_point=zero,
         )
+        if md5_thread is not None:
+            md5_thread.join()
+            # STREAMINFO md5 field: bytes 26..42 ("fLaC" + 4B block header
+            # + 18B of stream parameters -- models/flac_format layout)
+            blob = blob[:26] + md5_box["md5"] + blob[42:]
+        return blob
 
     def encode_array_batch(
         self,
@@ -666,9 +742,29 @@ class RasterFLACConverter:
             raise ValueError("no geospatial metadata found in FLAC file or sidecar")
         if not device_denorm_supported(meta.get("normalization")):
             # float64 outputs: TPUs carry no f64 and device_put under the
-            # default x64-off config would silently downcast -- return the
-            # exact host array instead of a lossy device one
-            return self.decode_bytes(blob, sidecar_path, override_dims)
+            # default x64-off config would silently downcast -- the stream
+            # already decoded through the device wide lane above, so pull
+            # the int32 PCM and run only the exact hi/lo recombine (a cheap
+            # elementwise bit view) in numpy, returning the exact host array
+            import copy as _copy
+
+            host_dec = _copy.copy(decoded)
+            host_dec.samples = np.asarray(decoded.samples)
+            flat = self._denormalize_samples(host_dec, meta)
+            width, height, count = meta["width"], meta["height"], meta["count"]
+            if override_dims is not None:
+                width, height = override_dims
+                meta = dict(meta, width=width, height=height)
+            if flat.shape[0] != width * height:
+                raise ValueError(
+                    f"decoded sample count {flat.shape[0]} != width*height "
+                    f"{width * height}"
+                )
+            if count > 1 or (flat.ndim > 1 and flat.shape[1] > 1):
+                data = flat.reshape(height, width, count).transpose(2, 0, 1)
+            else:
+                data = flat.reshape(height, width)[None]
+            return np.ascontiguousarray(data), meta
         return self._denormalize_device_stream(decoded, meta, override_dims)
 
     def _denormalize_device_stream(self, decoded, meta, override_dims=None):

@@ -653,7 +653,7 @@ def _finish_subframe(zs, order, coefs, shift_eff, warm, is_const, const_val,
 
 
 def decode_frames_device(
-    windows, bit_base, sf_start, *, C: int, bps: int, N: int,
+    windows, bit_base, sf_start, frame_end=None, *, C: int, bps: int, N: int,
     row_gather: "bool | None" = None, nrow: "int | None" = None,
     scan_impl: "str | None" = None,
 ):
@@ -708,7 +708,7 @@ def decode_frames_device(
         if scan2 is None:  # shape the kernel can't tile: XLA scan instead
             scan_impl = "xla"
     return _decode_frames_device(
-        windows, bit_base, sf_start, C=C, bps=bps, N=N,
+        windows, bit_base, sf_start, frame_end, C=C, bps=bps, N=N,
         row_gather=row_gather, nrow=nrow, scan_impl=scan_impl, scan2=scan2,
     )
 
@@ -720,7 +720,7 @@ def decode_frames_device(
     ),
 )
 def _decode_frames_device(
-    windows, bit_base, sf_start, *, C: int, bps: int, N: int,
+    windows, bit_base, sf_start, frame_end=None, *, C: int, bps: int, N: int,
     row_gather: bool, nrow: int, scan_impl: str = "xla", scan2=None,
 ):
     """Decode a batch of full FLAC frames on device.
@@ -778,13 +778,26 @@ def _decode_frames_device(
         ch_bps = jnp.full((C, B), bps, jnp.int32)
         err = err | (chan_code != C - 1)
 
+    # Frame-boundary validation for the LAST subframe (device-fuzz round 5):
+    # the layout index provides the starts of subframes 0..C-1, so the
+    # inter-channel chain check below cannot see a length corruption in the
+    # final subframe -- the host walk catches it as a lost frame sync at
+    # the next frame, and without this check the device lane would return
+    # wrong samples with no err.  Frames start byte-aligned in the window,
+    # so last_end -> byte pad -> 16-bit CRC must land exactly on the
+    # frame's recorded end (bit_base + 8 * layout size).
+    def _end_check(e, last_end):
+        if frame_end is None:
+            return e
+        return e | ((((last_end + 7) & ~7) + 16) != frame_end)
+
     if C == 1:
         sig, end, err = _parse_subframe(
             words, sf_start[:, 0], ch_bps[0], err, N=N,
             row_gather=row_gather, nrow=nrow, wide=wide,
             scan_impl=scan_impl, scan2=scan2,
         )
-        return sig[:, :, None], err
+        return sig[:, :, None], _end_check(err, end)
 
     wordsC = jnp.concatenate([words] * C, axis=0)            # (C*B, W)
     posC = sf_start.T.reshape(C * B)
@@ -801,6 +814,7 @@ def _decode_frames_device(
     ends = endC.reshape(C, B)
     for c in range(C - 1):
         err = err | (ends[c] != sf_start[:, c + 1])
+    err = _end_check(err, ends[C - 1])
 
     if C == 2:
         a, b = sigs[0], sigs[1]

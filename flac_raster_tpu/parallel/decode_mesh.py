@@ -74,7 +74,9 @@ def _tile_meta(buf: bytes):
         and N >= 64
         and (N & (N - 1)) == 0
         and 1 <= C <= 8
-        and bps + (1 if C == 2 else 0) <= MAX_DEVICE_BPS + 1
+        # narrow planner width, or exactly 32 (the wide lane -- never
+        # mid-side, mirroring codec/device_decoder's eligibility)
+        and (bps + (1 if C == 2 else 0) <= MAX_DEVICE_BPS + 1 or bps == 32)
         and si.total_samples > 0
     )
     if not eligible:
@@ -121,7 +123,7 @@ def _make_mesh_decode_step(mesh, *, maxW: int, C: int, bps: int, N: int):
     """
     from ..ops.device_decode import decode_frames_device
 
-    def local(body_l, row0_l, bb_l, sf_l):
+    def local(body_l, row0_l, bb_l, fe_l, sf_l):
         tT, Wb = body_l.shape
         tF = row0_l.shape[1]
         rows = body_l.reshape(tT * (Wb // _WROW), _WROW)
@@ -132,7 +134,8 @@ def _make_mesh_decode_step(mesh, *, maxW: int, C: int, bps: int, N: int):
         ) + lane
         win = jnp.take(rows, idx.reshape(-1), axis=0).reshape(tT * tF, maxW)
         samples, err = decode_frames_device(
-            win, bb_l.reshape(-1), sf_l.reshape(-1, C), C=C, bps=bps, N=N
+            win, bb_l.reshape(-1), sf_l.reshape(-1, C), fe_l.reshape(-1),
+            C=C, bps=bps, N=N,
         )
         return samples.reshape(tT, tF, N, C), err.reshape(tT, tF)
 
@@ -140,6 +143,7 @@ def _make_mesh_decode_step(mesh, *, maxW: int, C: int, bps: int, N: int):
         mesh=mesh,
         in_specs=(
             P("tiles", None),
+            P("tiles", "blocks"),
             P("tiles", "blocks"),
             P("tiles", "blocks"),
             P("tiles", "blocks", None),
@@ -248,6 +252,7 @@ def decode_flac_batch_mesh(
     body_w = np.zeros((T, Wb), np.uint32)
     row0 = np.zeros((T, Fp), np.int32)
     bit_base = np.zeros((T, Fp), np.int32)
+    frame_end = np.zeros((T, Fp), np.int32)
     sf = np.zeros((T, Fp, C), np.int32)
     for t, (b, m) in enumerate(zip(blobs, metas)):
         F = m["full_frames"]
@@ -272,6 +277,10 @@ def decode_flac_batch_mesh(
         row0[t, F:] = row0[t, 0]
         bit_base[t, :F] = bb
         bit_base[t, F:] = bb[0]
+        # window-local frame end for the last-subframe boundary check;
+        # padded rows copy frame 0 so they stay err-free (and are sliced)
+        frame_end[t, :F] = bb + (m["sizes"][:F] * 8).astype(np.int32)
+        frame_end[t, F:] = frame_end[t, 0]
         sf[t, :F] = sft + bb[:, None]
         sf[t, F:] = sf[t, 0]
 
@@ -290,6 +299,7 @@ def decode_flac_batch_mesh(
             jax.device_put(jnp.asarray(body_w[sl]), body_sh),
             jax.device_put(jnp.asarray(row0[sl]), grid_sh),
             jax.device_put(jnp.asarray(bit_base[sl]), grid_sh),
+            jax.device_put(jnp.asarray(frame_end[sl]), grid_sh),
             jax.device_put(jnp.asarray(sf[sl]), sf_sh),
         )
         parts.append(out)

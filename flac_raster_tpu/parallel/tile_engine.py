@@ -27,6 +27,8 @@ compute graph of the flagship workload.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 import jax
@@ -297,14 +299,22 @@ def encode_flac_batch_mesh(
         samples_batch = samples_batch[:, :, None]
     T, n, channels = samples_batch.shape
     n_full = n // blocksize
+    # narrow (<= MAX_DEVICE_BPS) and wide (32, ops/wide_codec limb-pair
+    # planner inside plan_and_emit) streams both ride the mesh; only
+    # 27..31 -- not emittable FLAC widths anyway (_BPS_CODES) -- fall back
     if (
         T == 0
         or n_full == 0
         or bits_per_sample not in _BPS_CODES
-        or bits_per_sample > MAX_DEVICE_BPS
+        or MAX_DEVICE_BPS < bits_per_sample < 32
         or (blocksize & (blocksize - 1)) != 0
         or blocksize % 64 != 0
     ):
+        logging.getLogger("flac_raster_tpu.tile_engine").info(
+            "mesh encode fallback to host batch encoder "
+            "(T=%d, n_full=%d, bps=%d, blocksize=%d)",
+            T, n_full, bits_per_sample, blocksize,
+        )
         return encode_flac_batch(
             samples_batch, sample_rate, bits_per_sample, compression_level,
             blocksize, comments_list, vendor, compute_md5, use_mesh=False,

@@ -244,7 +244,8 @@ class TestNativeRuntime:
 
 
 class TestPallasKernels:
-    def test_rice_cost_kernel_parity(self, rng):
+    @pytest.mark.parametrize("parts", [8, 32, 64])
+    def test_rice_cost_kernel_parity(self, rng, parts):
         """Pallas kernel (interpret mode) == numpy reference.
 
         The kernel reconstructs sums from the 5-bit-quotient recurrence:
@@ -252,7 +253,10 @@ class TestPallasKernels:
         below.  Entries below k0 are provably invalid under the 32-bit
         token cap, so the planner's vmask never reads them; assert both
         the kernel's own contract and post-mask equality with the clamped
-        jnp-fallback oracle (the byte-identity condition)."""
+        jnp-fallback oracle (the byte-identity condition).  parts spans
+        both kernel branches (r4 advisor): 64 -> base 64 (packed fields),
+        32 -> base 128 (the packed field-width boundary), 8 -> base 512
+        (the unpacked path, reached at encoder levels 0-1)."""
         from flac_raster_tpu.ops.pallas_kernels import (
             KMAX_KERNEL, TOKEN_CAP, rice_cost_sums,
         )
@@ -261,9 +265,9 @@ class TestPallasKernels:
         # include all-zero and near-cap-wide partitions
         z[0] = 0
         z[1, :64] = np.uint32(0xFFFFFFFF)
-        sums, zmax = rice_cost_sums(jnp.asarray(z), interpret=True)
+        sums, zmax = rice_cost_sums(jnp.asarray(z), parts=parts, interpret=True)
         sums, zmax = np.asarray(sums), np.asarray(zmax)
-        zp = z.reshape(16, 64, 64)
+        zp = z.reshape(16, parts, N // parts)
         assert np.array_equal(zmax, zp.max(-1))
         k0 = sum(
             (zmax >= np.uint64(1 << j)).astype(np.int32) for j in range(5, 32)

