@@ -40,6 +40,7 @@ delegates packing to libFLAC's sequential bitwriter (reference
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -72,6 +73,65 @@ def _sub_rows(tokens: int, slots_per_group: int) -> int:
     crossings = -(-tokens // slots_per_group) + 1
     span_words = (tokens * MAX_PITCH_BITS + crossings * GAP_BITS + 31) // 32
     return -(-(span_words + 128) // 128)
+
+
+def _pack_kernel2(R: int, n_sub: int,
+                  w0_ref, c0_ref, c1_ref, first_ref, nxt_ref, zeros_ref,
+                  out_ref, window, carry, sem):
+    """One-compare sub-tile variant of ``_pack_kernel`` (the TPU default).
+
+    v1 compares every token against BOTH 128-lane rows of a 128-word-ALIGNED
+    sub-window (256 slots/token, two masks).  This version keys each
+    sub-tile's window to its FIRST TOKEN'S WORD instead: the amortized
+    start-to-start pitch bound (sum of pitches telescopes to the sub-tile's
+    total bits <= T_SUB*MAX_PITCH_BITS + GAP_BITS + MAX_PITCH_BITS) keeps
+    every relative word index under 128, so ONE (T_SUB, 128) compare builds
+    the mask, both word-contributions reduce under the SAME mask, the c1
+    spill is a static roll-by-one (the wrap lane is provably zero), and the
+    compact row lands in the aligned super-window via a dynamic lane roll +
+    two masked row adds -- ~2.5x less VPU work per token than v1.
+    """
+    i = pl.program_id(0)
+    first0 = first_ref[0, 0, 0]
+    s_sup = first0 & ~jnp.int32(127)
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    window[...] = jnp.zeros_like(window)
+    window[0:1, :] = carry[0:1, :]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for j in range(n_sub):
+        bj = first_ref[0, 0, j]
+        d = bj - s_sup
+        r = d >> 7
+        l = d & 127
+        lwj = w0_ref[0, :, j : j + 1] - bj          # (T_SUB, 1), in [0, ~99]
+        m = lwj == lane                              # ONE compare
+        c0j = c0_ref[0, :, j : j + 1]
+        c1j = c1_ref[0, :, j : j + 1]
+        s0 = jnp.where(m, c0j, 0).sum(axis=0, keepdims=True)   # (1, 128)
+        s1 = jnp.where(m, c1j, 0).sum(axis=0, keepdims=True)
+        # c1 of token at rel-word w belongs at w+1: static roll by one.  The
+        # wrapped element s1[127] is zero by the span bound (lw <= ~99).
+        comb = s0 + pltpu.roll(s1, 1, axis=1)
+        # place words [bj, bj+128) at lane offset l of rows r, r+1
+        rolled = pltpu.roll(comb, l, axis=1)         # dynamic lane roll
+        row0 = jnp.where(lane >= l, rolled, 0)
+        row1 = jnp.where(lane < l, rolled, 0)
+        window[pl.ds(r, 2), :] += jnp.concatenate([row0, row1], axis=0)
+
+    s_nxt = nxt_ref[0, 0, 0] & ~jnp.int32(127)
+    r_c = jnp.clip((s_nxt - s_sup) >> 7, 0, R - 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    carry[0:1, :] = jnp.sum(
+        jnp.where(row_ids == r_c, window[...], 0), axis=0, keepdims=True
+    )
+    dma = pltpu.make_async_copy(window, out_ref.at[pl.ds(s_sup >> 7, R), :], sem)
+    dma.start()
+    dma.wait()
 
 
 def _pack_kernel(R: int, n_sub: int,
@@ -118,10 +178,10 @@ def _pack_kernel(R: int, n_sub: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_words", "slots_per_group", "interpret")
+    jax.jit, static_argnames=("n_words", "slots_per_group", "interpret", "version")
 )
 def pack_tokens(vals, lens, offs, *, n_words: int, slots_per_group: int = 4096,
-                interpret: bool = False):
+                interpret: bool = False, version: str | None = None):
     """Pack a monotone token stream into a zeroed uint32 word buffer.
 
     Drop-in equal to ``device_emit._scatter_tokens(zeros(n_words), ...)``.
@@ -179,13 +239,53 @@ def pack_tokens(vals, lens, offs, *, n_words: int, slots_per_group: int = 4096,
     w0_t = cols(w0)
     c0_t = cols(jax.lax.bitcast_convert_type(c0, jnp.int32))
     c1_t = cols(jax.lax.bitcast_convert_type(c1, jnp.int32))
-    sub_base = (w0.reshape(n_tiles, n_sub, T_SUB)[:, :, 0]) & ~jnp.int32(127)
+    sub_first = w0.reshape(n_tiles, n_sub, T_SUB)[:, :, 0]
+    sub_base = sub_first & ~jnp.int32(127)
     next_start = jnp.concatenate([sub_base[1:, 0], sub_base[-1:, 0]])
 
     R = _sub_rows(T_SUPER, slots_per_group) + W_SUB_ROWS + 1
     R = -(-R // 8) * 8  # sublane-aligned scratch rows
     rows_total = -(-n_words // 128) + R + 1
     zeros = jnp.zeros((rows_total, 128), jnp.int32)
+
+    # v2 (one-compare sub-windows) needs every sub-tile's relative word span
+    # + the c1 spill to fit 128 lanes; the amortized pitch bound gives
+    # T_SUB*MAX_PITCH + one GAP crossing + one trailing token.
+    v2_span = (T_SUB * MAX_PITCH_BITS + GAP_BITS + MAX_PITCH_BITS + 31) // 32
+    if version is None:  # trace-time env default; tests pass it explicitly
+        version = os.environ.get("FRTPU_PACK", "v2")
+    use_v2 = version == "v2" and v2_span + 1 < 128
+
+    if use_v2:
+        nf = jnp.concatenate([sub_first[1:, 0], sub_first[-1:, 0]])
+        out = pl.pallas_call(
+            functools.partial(_pack_kernel2, R, n_sub),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, T_SUB, n_sub), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T_SUB, n_sub), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T_SUB, n_sub), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_sub), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((rows_total, 128), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((R, 128), jnp.int32),
+                pltpu.VMEM((8, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            input_output_aliases={5: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(w0_t, c0_t, c1_t, sub_first[:, None, :], nf[:, None, None], zeros)
+        return jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(-1)[:n_words]
 
     out = pl.pallas_call(
         functools.partial(_pack_kernel, R, n_sub),

@@ -44,6 +44,7 @@ def _random_stream(rng, nt, slots, max_len=27, dead_frac=0.15):
     return vals, lens, offs.astype(np.int32), n_words
 
 
+@pytest.mark.parametrize("version", ["v1", "v2"])
 @pytest.mark.parametrize(
     "nt,slots,seed",
     [
@@ -53,7 +54,7 @@ def _random_stream(rng, nt, slots, max_len=27, dead_frac=0.15):
         (300, 4096, 3),           # sub-super-tile stream
     ],
 )
-def test_pack_matches_scatter(nt, slots, seed):
+def test_pack_matches_scatter(nt, slots, seed, version):
     rng = np.random.default_rng(seed)
     vals, lens, offs, n_words = _random_stream(rng, nt, slots)
     ref = np.asarray(
@@ -66,6 +67,7 @@ def test_pack_matches_scatter(nt, slots, seed):
         pack_tokens(
             jnp.asarray(vals), jnp.asarray(lens), jnp.asarray(offs),
             n_words=n_words, slots_per_group=slots, interpret=True,
+            version=version,
         )
     )
     mism = np.nonzero(ref != out)[0]
@@ -87,7 +89,8 @@ def test_pack_all_dead_tokens():
     assert not out.any()
 
 
-def test_pack_dense_one_bit_tokens():
+@pytest.mark.parametrize("version", ["v1", "v2"])
+def test_pack_dense_one_bit_tokens(version):
     """Worst-case density: adjacent 1-bit tokens (32 per word)."""
     nt = 4096
     vals = np.ones(nt, np.uint32)
@@ -104,6 +107,37 @@ def test_pack_dense_one_bit_tokens():
         pack_tokens(
             jnp.asarray(vals), jnp.asarray(lens), jnp.asarray(offs),
             n_words=n_words, slots_per_group=4096, interpret=True,
+            version=version,
+        )
+    )
+    assert np.array_equal(ref, out)
+
+
+@pytest.mark.parametrize("version", ["v1", "v2"])
+def test_pack_max_pitch_stream(version):
+    """Amortized-worst-case pitch: back-to-back 32-bit spans (the planner
+    cap's extreme) plus a GAP_BITS crossing per slot group -- pins the v2
+    single-row span bound."""
+    from flac_raster_tpu.ops.pallas_pack import GAP_BITS, MAX_PITCH_BITS
+
+    nt, slots = 2 * 4096, 4096
+    vals = np.full(nt, 0x7FFFFFF, np.uint32)
+    lens = np.full(nt, 27, np.int32)          # <= MAX_TOKEN_BITS
+    pitches = np.full(nt, MAX_PITCH_BITS, np.int64)
+    pitches[slots::slots] += GAP_BITS - MAX_PITCH_BITS + 27  # crossing gap
+    offs = (np.cumsum(pitches) - pitches[0]).astype(np.int32)
+    n_words = int(offs[-1] + 64) // 32 + 4
+    ref = np.asarray(
+        _scatter_tokens(
+            jnp.zeros(n_words, jnp.uint32),
+            jnp.asarray(vals), jnp.asarray(lens), jnp.asarray(offs),
+        )
+    )
+    out = np.asarray(
+        pack_tokens(
+            jnp.asarray(vals), jnp.asarray(lens), jnp.asarray(offs),
+            n_words=n_words, slots_per_group=slots, interpret=True,
+            version=version,
         )
     )
     assert np.array_equal(ref, out)
