@@ -110,7 +110,7 @@ def stage_breakdown(samples: np.ndarray) -> dict:
     )
     from flac_raster_tpu.codec.encoder import _BPS_CODES, _SAMPLE_RATE_CODES, EncoderConfig
     from flac_raster_tpu.codec.fast_encoder import _blocksize_header
-    from flac_raster_tpu.ops.device_emit import plan_and_emit, worst_case_words
+    from flac_raster_tpu.ops.device_emit import worst_case_words
 
     n, channels = samples.shape
     blocksize, bps, level, zero_point = 4096, 16, 5, 32768
@@ -126,9 +126,6 @@ def stage_breakdown(samples: np.ndarray) -> dict:
     )
     chunk = 2048
     n_full = n // blocksize
-    full = samples[: n_full * blocksize].reshape(n_full, blocksize, channels)
-    full = np.ascontiguousarray(full.transpose(0, 2, 1))
-
     n_words = worst_case_words(chunk, channels, blocksize, bps)
     n_words = ((n_words + _PAGE_WORDS - 1) // _PAGE_WORDS) * _PAGE_WORDS
 
@@ -139,39 +136,60 @@ def stage_breakdown(samples: np.ndarray) -> dict:
     if not bounds:  # smoke-size rasters have no full chunk to measure
         return {"stage_error": f"raster too small for {chunk}-frame chunking"}
 
-    # warm both executables
-    out = plan_and_emit(jnp.asarray(full[: chunk]), jnp.int32(0),
-                        n_words=n_words, **static_kw)
-    _sync(out["frame_bits"])
+    # chunk groups of K per dispatch -- the production device-resident path
+    # (codec/device_encoder._plan_emit_scan): per-call dispatch on the relay
+    # costs ~a chunk of compute and does not pipeline (r5 probe_dispatch)
+    from flac_raster_tpu.codec.device_encoder import _plan_emit_scan
+
+    cap = max(1, int(os.environ.get("FRTPU_DISPATCH_CHUNKS", "8")))
+    groups = []
+    i = 0
+    while i < len(bounds):
+        groups.append(bounds[i : i + cap])
+        i += cap
+
+    def run_group(rows_dev, grp):
+        K = len(grp)
+        r0, r1 = grp[0][0] * blocksize, grp[-1][1] * blocksize
+        return _plan_emit_scan(
+            rows_dev[r0:r1],
+            jnp.asarray([c0 for c0, _ in grp], jnp.int32),
+            K=K, F=chunk, N=blocksize, C=channels, n_words=n_words,
+            **static_kw,
+        )
+
+    rows_host = samples[: n_full * blocksize]  # (frames*N, C) raw uint16
+
+    # warm every distinct group size
+    rows_dev = jax.device_put(rows_host)
+    _sync(rows_dev.ravel()[:1])
+    for K in sorted({len(g) for g in groups}):
+        o = run_group(rows_dev, groups[0][:K])
+        _sync(o["frame_bits"][:, :1])
 
     raw_mb = len(bounds) * chunk * blocksize * channels * 2 / 1e6
 
-    # pre-upload every chunk and FORCE the transfers (device_put is async on
-    # the relay -- without the force the "compute" loop would be timing
-    # uploads) so t_device below is honest device compute
+    # re-upload (fresh buffer) and FORCE the transfer (device_put is async on
+    # the relay) so t_device below is honest device compute
+    del rows_dev
     t0 = time.perf_counter()
-    xs = []
-    for c0, c1 in bounds:
-        x = jax.device_put(full[c0:c1])
-        xs.append(x)
-    for x in xs:
-        _sync(x.ravel()[:1])
+    rows_dev = jax.device_put(rows_host)
+    _sync(rows_dev.ravel()[:1])
     t_upload = time.perf_counter() - t0
 
-    # --- device compute only (tiny sync; <=3 in flight like the encoder) ---
+    # --- device compute only (tiny syncs; grouped scanned dispatches) ------
     t0 = time.perf_counter()
-    outs = []
+    gouts = [run_group(rows_dev, g) for g in groups]
     fbs = []
-    pending = []
-    for (c0, c1), x in zip(bounds, xs):
-        out = plan_and_emit(x, jnp.int32(c0), n_words=n_words, **static_kw)
-        outs.append(out)
-        pending.append(out)
-        if len(pending) >= 3:
-            fbs.append(np.asarray(pending.pop(0)["frame_bits"]))
-    while pending:
-        fbs.append(np.asarray(pending.pop(0)["frame_bits"]))
+    for g, o in zip(groups, gouts):
+        fb = np.asarray(o["frame_bits"])
+        fbs.extend(fb[j] for j in range(len(g)))
     t_device = time.perf_counter() - t0
+    outs = [
+        {"words": o["words"][j], "frame_bits": o["frame_bits"][j]}
+        for g, o in zip(groups, gouts)
+        for j in range(len(g))
+    ]
 
     # --- readback of the used word prefixes ---
     t0 = time.perf_counter()

@@ -203,10 +203,21 @@ def _rice_search(z, order, blocksize, max_po, idx):
         # recurrence.  Its sums equal the clamped jnp ones below ONLY on
         # entries the vmask keeps -- exactness of the reconstruction needs
         # the 32-bit token cap (see pallas_kernels module docstring).
-        from .pallas_kernels import TOKEN_CAP, rice_cost_sums
+        import os
+
+        from .pallas_kernels import TOKEN_CAP, rice_cost_sums, rice_cost_sums_hp
 
         assert MAX_RICE_TOKEN_BITS == TOKEN_CAP
-        cost, zmax = rice_cost_sums(
+        # hp: transposed half-partition layout fills all 128 lanes during
+        # the per-element quotient/field chain (trace-time env switch)
+        # hp measured 2x on the whole planner on v5e (r5: plan_blocks full
+        # 7.31 -> 3.89 ms per (2048, 4096) chunk, docs/hw_logs/r5)
+        _cost_fn = (
+            rice_cost_sums_hp
+            if os.environ.get("FRTPU_COST", "hp") == "hp" and (blocksize >> max_po) % 2 == 0
+            else rice_cost_sums
+        )
+        cost, zmax = _cost_fn(
             z, parts=parts, interpret=FORCE_PALLAS_INTERPRET
         )
     else:

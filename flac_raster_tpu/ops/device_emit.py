@@ -353,18 +353,17 @@ def plan_and_emit(
                   jnp.where(is_lpc, 32 | jnp.maximum(order - 1, 0), 8 | order)),
     )
     j8 = jax.lax.broadcasted_iota(jnp.int32, (F, C, MAX_ORDER_SLOTS), 2)
-    wu_used = (j8 < order[:, :, None]) & is_rice[:, :, None]
     j8w = jnp.minimum(j8, jnp.maximum(order - 1, 0)[:, :, None])
-    wu_vals = xu[:, :, :MAX_ORDER_SLOTS] & bmask[:, :, None]
     lpc_base = sf_start + 8 + order * ch_bps
     cf_used = (j8 < order[:, :, None]) & is_lpc[:, :, None]
     prec_mask = (jnp.int32(1) << precision) - 1
     is_lpc4 = jnp.where(is_lpc, 4, 0)
 
+    # warmup samples and the constant value ride the SAMPLE token stream
+    # (their slots there are otherwise dead) -- 13 fewer header slots per
+    # subframe through the XLA scatter
     sub_v = [
         (type_code << 1).astype(jnp.uint32),                 # subframe header
-        xu[:, :, 0] & bmask,                                 # constant value
-        jnp.where(wu_used, wu_vals, 0),                      # warmups
         jnp.where(is_lpc, precision - 1, 0).astype(jnp.uint32),
         jnp.where(is_lpc, shift & 0x1F, 0).astype(jnp.uint32),
         (qcoeffs & prec_mask[:, :, None]).astype(jnp.uint32),
@@ -372,8 +371,6 @@ def plan_and_emit(
     ]
     sub_l = [
         jnp.full((F, C), 8, jnp.int32),
-        jnp.where(is_const, ch_bps, 0),
-        jnp.where(wu_used, ch_bps[:, :, None], 0),
         is_lpc4,
         jnp.where(is_lpc, 5, 0),
         jnp.where(cf_used, precision[:, :, None], 0),
@@ -381,8 +378,6 @@ def plan_and_emit(
     ]
     sub_o = [
         sf_start,
-        sf_start + 8,
-        sf_start[:, :, None] + 8 + j8w * ch_bps[:, :, None],
         lpc_base,
         lpc_base + is_lpc4,                                   # dead: stay at base
         lpc_base[:, :, None] + jnp.where(is_lpc, 9, 0)[:, :, None]
@@ -425,6 +420,13 @@ def plan_and_emit(
     # (1 << k) | rem with length 1 + k at bit base+q; the q unary zeros
     # before it cost nothing (the buffer starts zeroed).
     # verbatim: bps-bit sample value at base.
+    # warmup samples (i < order) and the constant value ride this stream
+    # too, in their otherwise-DEAD slots: xu & bmask is already the
+    # non-rice token value, their offsets stay monotone (warmups precede
+    # the residual payload; the constant sits at base_off), and the merged
+    # header stream below shrinks by 13 scatter slots per subframe.
+    is_wu = is_rice[:, :, None] & ~in_resid
+    live_c0 = is_const[:, :, None] & (i == 0)
     rem = z & ((jnp.uint32(1) << ku) - jnp.uint32(1))
     tok_v = jnp.where(
         rice_tok,
@@ -432,9 +434,18 @@ def plan_and_emit(
         xu & bmask[:, :, None],
     )
     tok_l = jnp.where(
-        rice_tok, 1 + k, jnp.where(is_verb[:, :, None], ch_bps[:, :, None], 0)
+        rice_tok, 1 + k,
+        jnp.where(
+            is_verb[:, :, None] | is_wu | live_c0, ch_bps[:, :, None], 0
+        ),
     )
-    tok_o = jnp.where(rice_tok, base_off + q, base_off)
+    tok_o = jnp.where(
+        rice_tok,
+        base_off + q,
+        jnp.where(
+            is_wu, sf_start[:, :, None] + 8 + i * ch_bps[:, :, None], base_off
+        ),
+    )
 
     # rice partition parameter slots (dead slots clamp to the last live one);
     # they interleave with sample tokens in the bitstream but ride the merged

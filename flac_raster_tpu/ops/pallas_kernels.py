@@ -66,7 +66,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rice_cost_sums", "KMAX_KERNEL"]
+__all__ = ["rice_cost_sums", "rice_cost_sums_hp", "KMAX_KERNEL"]
 
 KMAX_KERNEL = 20
 # The exact-reconstruction argument above needs every valid quotient to fit
@@ -122,6 +122,108 @@ def _rice_diag_kernel(packed, z_ref, diag_ref, zmax_ref):
     diag_ref[:, 5, :] = k0
     diag_ref[:, 6, :] = jnp.zeros_like(k0)
     diag_ref[:, 7, :] = jnp.zeros_like(k0)
+
+
+def _rice_diag_kernel_hp(packed, z_ref, diag_ref, zmax_ref):
+    """Half-partition, transposed-layout variant of ``_rice_diag_kernel``.
+
+    Block layout (BLK, base, hp): the reduction axis rides SUBLANES and the
+    128 half-partitions fill every lane, so the ~14-op per-element chain
+    (flip, quotient, field packing) runs at full VPU width -- the shipped
+    (BLK, parts=64, base=64) layout pads 64 lanes to 128 and wastes half
+    the machine on exactly those ops.  Reductions over axis=-2 are the
+    cheap sublane direction.  Fields pack as in the base<=128 path (base
+    here is 32: sum q <= 32*31 < 2^12, pops <= 32 < 2^10).
+    """
+    sign = jnp.uint32(0x80000000)
+    zp = z_ref[:]                                  # (BLK, base, 128)
+    zb = jax.lax.bitcast_convert_type(zp ^ sign, jnp.int32)
+    mb = jnp.max(zb, axis=-2)                      # (BLK, 128) flipped max
+    zmax_ref[:] = jax.lax.bitcast_convert_type(mb, jnp.uint32) ^ sign
+    k0 = jnp.zeros_like(mb)
+    for j in range(5, 32):
+        thr = jnp.int32((1 << j) - (1 << 31))
+        k0 = k0 + (mb >= thr).astype(jnp.int32)
+    k0b = jnp.broadcast_to(k0.astype(jnp.uint32)[:, None, :], zp.shape)
+    q = jax.lax.bitcast_convert_type(zp >> k0b, jnp.int32)
+    if packed:  # base <= 128: fields cannot overflow (see v1 kernel)
+        f1 = q + ((q & 1) << 12) + (((q >> 1) & 1) << 22)
+        f2 = ((q >> 2) & 1) + (((q >> 3) & 1) << 10)
+        s1 = f1.sum(axis=-2)
+        s2 = f2.sum(axis=-2)
+        s0 = s1 & 0xFFF
+        pops = [(s1 >> 12) & 0x3FF, s1 >> 22, s2 & 0x3FF, s2 >> 10]
+    else:
+        s0 = q.sum(axis=-2)
+        pops = [((q >> t) & 1).sum(axis=-2) for t in range(4)]
+    s_rel = [s0]
+    for b in pops:
+        s_rel.append((s_rel[-1] - b) >> 1)
+    for t in range(5):
+        diag_ref[:, t, :] = s_rel[t]
+    diag_ref[:, 5, :] = k0
+    diag_ref[:, 6, :] = jnp.zeros_like(k0)
+    diag_ref[:, 7, :] = jnp.zeros_like(k0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("parts", "block_rows", "interpret")
+)
+def rice_cost_sums_hp(
+    z,
+    *,
+    parts: int = 64,
+    block_rows: int = 8,
+    interpret: bool = False,
+):
+    """Drop-in for ``rice_cost_sums`` via 2*parts transposed half-partitions.
+
+    Splits every finest partition into two halves laid out as (B, base/2,
+    2*parts) -- halves on LANES (all 128 used), samples on sublanes -- runs
+    the diagonal kernel per half, reconstructs each half's 21-slot table in
+    XLA and folds half pairs.  Exactness: a partition's sum at k is the sum
+    of its halves' sums at k, each half's table is exact for k >= its own
+    k0h, and k0h <= the full partition's k0 -- so every entry the caller's
+    zmax validity mask keeps is exact, which is all the byte-identity
+    contract needs (entries below the full partition's k0 may be partial
+    sums rather than 0; the mask discards them).
+    """
+    B, N = z.shape
+    hp = 2 * parts
+    assert N % hp == 0
+    base = N // hp
+    zt = z.reshape(B, hp, base).swapaxes(1, 2)     # (B, base, hp)
+    rows = min(block_rows, B)
+    while B % rows:
+        rows -= 1
+    diag, zmax_h = pl.pallas_call(
+        functools.partial(_rice_diag_kernel_hp, base <= 128),
+        grid=(B // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, base, hp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, 8, hp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, hp), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 8, hp), jnp.int32),
+            jax.ShapeDtypeStruct((B, hp), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(zt)
+    k0 = diag[:, 5, :]
+    dk = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, KMAX_KERNEL + 1, 1), 1)
+        - k0[:, None, :]
+    )
+    sums_h = jnp.zeros((B, KMAX_KERNEL + 1, hp), jnp.int32)
+    for t in range(5):
+        sums_h = jnp.where(dk == t, diag[:, t, :][:, None, :], sums_h)
+    sums = sums_h[:, :, 0::2] + sums_h[:, :, 1::2]
+    zmax = jnp.maximum(zmax_h[:, 0::2], zmax_h[:, 1::2])
+    return sums, zmax
 
 
 @functools.partial(

@@ -89,7 +89,14 @@ def _pack_kernel2(R: int, n_sub: int,
     the mask, both word-contributions reduce under the SAME mask, the c1
     spill is a static roll-by-one (the wrap lane is provably zero), and the
     compact row lands in the aligned super-window via a dynamic lane roll +
-    two masked row adds -- ~2.5x less VPU work per token than v1.
+    two masked row adds -- ~2.5x less VPU compare/select work per token
+    than v1 on paper.
+
+    MEASURED SLOWER on the v5e (r5, tools/probe_dispatch.py: +19 ms per
+    (2048, 4096) chunk vs v1): the per-sub-tile DYNAMIC lane rolls and the
+    dynamic two-row RMW dominate -- Mosaic lowers a dynamic rotate as a
+    full lane crossbar per call, 128k of them per chunk.  Kept selectable
+    via FRTPU_PACK=v2 as a measured negative result; v1 stays the default.
     """
     i = pl.program_id(0)
     first0 = first_ref[0, 0, 0]
@@ -124,6 +131,134 @@ def _pack_kernel2(R: int, n_sub: int,
         window[pl.ds(r, 2), :] += jnp.concatenate([row0, row1], axis=0)
 
     s_nxt = nxt_ref[0, 0, 0] & ~jnp.int32(127)
+    r_c = jnp.clip((s_nxt - s_sup) >> 7, 0, R - 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    carry[0:1, :] = jnp.sum(
+        jnp.where(row_ids == r_c, window[...], 0), axis=0, keepdims=True
+    )
+    dma = pltpu.make_async_copy(window, out_ref.at[pl.ds(s_sup >> 7, R), :], sem)
+    dma.start()
+    dma.wait()
+
+
+def _pack_kernel3(R: int, n_sub: int,
+                  w0_ref, c0_ref, c1_ref, base_ref, nxt_ref, zeros_ref,
+                  out_ref, window, carry, sem):
+    """One-modular-compare variant of ``_pack_kernel`` (same windows).
+
+    v1 spends 4 (T_SUB, 128) compares + 4 selects per sub-tile (2 aligned
+    window rows x masks for the token word and its spill).  Here ONE
+    modular compare ``(lw & 127) == lane`` serves both rows -- row
+    membership moves into (T_SUB, 1) COLUMN masks (tiny; the spill's row is
+    split at lw < 127 since it lives at lw+1), and the c1 spill becomes a
+    static per-row roll-by-one.  The rolls are exact: row0's wrapped lane
+    would need lw & 127 == 127 with lw < 127 (empty), and row1's wrapped
+    lane is precisely the lw == 127 token whose spill belongs at word 128 =
+    row1 lane 0 (lw == 255 sits above the 226-word span bound).
+    ~1.9x less VPU work per token;
+    byte-identical by construction (integer sums over the same disjoint
+    contributions).
+    """
+    i = pl.program_id(0)
+    s_sup = base_ref[0, 0, 0]
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    window[...] = jnp.zeros_like(window)
+    window[0:1, :] = carry[0:1, :]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for j in range(n_sub):
+        bj = base_ref[0, 0, j]
+        row_off = (bj - s_sup) >> 7
+        lwj = w0_ref[0, :, j : j + 1] - bj          # (T_SUB, 1) in [0, 226]
+        c0j = c0_ref[0, :, j : j + 1]
+        c1j = c1_ref[0, :, j : j + 1]
+        r0c0 = jnp.where(lwj < 128, c0j, 0)          # column masks (tiny)
+        r1c0 = c0j - r0c0
+        r0c1 = jnp.where(lwj < 127, c1j, 0)          # spill row: lw+1 < 128
+        r1c1 = c1j - r0c1
+        m = (lwj & 127) == lane                      # ONE (T_SUB, 128) compare
+        s0r0 = jnp.where(m, r0c0, 0).sum(axis=0, keepdims=True)
+        s0r1 = jnp.where(m, r1c0, 0).sum(axis=0, keepdims=True)
+        s1r0 = jnp.where(m, r0c1, 0).sum(axis=0, keepdims=True)
+        s1r1 = jnp.where(m, r1c1, 0).sum(axis=0, keepdims=True)
+        row0 = s0r0 + pltpu.roll(s1r0, 1, axis=1)
+        row1 = s0r1 + pltpu.roll(s1r1, 1, axis=1)
+        window[pl.ds(row_off, 2), :] += jnp.concatenate([row0, row1], axis=0)
+
+    s_nxt = nxt_ref[0, 0, 0]
+    r_c = jnp.clip((s_nxt - s_sup) >> 7, 0, R - 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    carry[0:1, :] = jnp.sum(
+        jnp.where(row_ids == r_c, window[...], 0), axis=0, keepdims=True
+    )
+    dma = pltpu.make_async_copy(window, out_ref.at[pl.ds(s_sup >> 7, R), :], sem)
+    dma.start()
+    dma.wait()
+
+
+def _pack_kernel4(R: int, n_sub: int,
+                  w0_ref, cl_ref, base_ref, nxt_ref, zeros_ref,
+                  out_ref, window, carry, sem):
+    """MXU variant: one-hot masks once, contributions via batched matmul.
+
+    v1's inner loop spends ~10 vector ops per (token, window-slot) pair --
+    4 compares, 4 selects, 2 adds -- plus 2 sublane reductions per
+    sub-tile.  Here the two one-hot masks (token word, spill word) are
+    built ONCE as (n_sub, T_SUB, 128) f32 tensors and the per-window sums
+    become TWO batched (n_sub, 4, T_SUB) x (n_sub, T_SUB, 128) matmuls on
+    the MXU; the 16-bit lo/hi field split keeps every product and f32
+    accumulation exact (disjoint bit ranges: field sums cannot exceed
+    65535).  Recombination back to int32 rows is whole-tensor work; only
+    the 2-row window RMW remains a per-sub-tile loop.
+
+    Inputs: w0_ref (1, n_sub, T_SUB) int32 SUB-BASE-RELATIVE word indices
+    (TRANSPOSED layout vs v1 -- tokens on lanes, lw precomputed in XLA);
+    cl_ref (1, n_sub, 8, T_SUB) f32 field rows
+    [c0lo_r0, c0hi_r0, c0lo_r1, c0hi_r1, c1lo_r0, c1hi_r0, c1lo_r1,
+    c1hi_r1] with the rowN masks pre-applied in XLA.
+    """
+    i = pl.program_id(0)
+    s_sup = base_ref[0, 0, 0]
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    window[...] = jnp.zeros_like(window)
+    window[0:1, :] = carry[0:1, :]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_sub, 1, 128), 2)
+    lw = w0_ref[0][:, :, None]                       # (n_sub, T_SUB, 1), [0,226]
+    # modular one-hots over the 128-lane compare width; the window ROW a
+    # contribution belongs to (lw < 128 vs >= 128, and lw+1 for the spill)
+    # is pre-split into cl's field rows in XLA
+    m0 = ((lw & 127) == lane).astype(jnp.float32)    # token word one-hot
+    m1 = (((lw + 1) & 127) == lane).astype(jnp.float32)  # spill one-hot
+    cl = cl_ref[0]                                   # (n_sub, 8, T_SUB)
+    o0 = jax.lax.dot_general(                        # (n_sub, 4, 128)
+        cl[:, :4, :], m0,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o1 = jax.lax.dot_general(
+        cl[:, 4:, :], m1,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    oi = (o0 + o1).astype(jnp.int32)                 # fields stay disjoint
+    rows0 = oi[:, 0, :] + (oi[:, 1, :] << 16)        # (n_sub, 128)
+    rows1 = oi[:, 2, :] + (oi[:, 3, :] << 16)
+    for j in range(n_sub):
+        row_off = (base_ref[0, 0, j] - s_sup) >> 7
+        window[pl.ds(row_off, 2), :] += jnp.concatenate(
+            [rows0[j : j + 1, :], rows1[j : j + 1, :]], axis=0
+        )
+
+    s_nxt = nxt_ref[0, 0, 0]
     r_c = jnp.clip((s_nxt - s_sup) >> 7, 0, R - 1)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
     carry[0:1, :] = jnp.sum(
@@ -253,7 +388,7 @@ def pack_tokens(vals, lens, offs, *, n_words: int, slots_per_group: int = 4096,
     # T_SUB*MAX_PITCH + one GAP crossing + one trailing token.
     v2_span = (T_SUB * MAX_PITCH_BITS + GAP_BITS + MAX_PITCH_BITS + 31) // 32
     if version is None:  # trace-time env default; tests pass it explicitly
-        version = os.environ.get("FRTPU_PACK", "v2")
+        version = os.environ.get("FRTPU_PACK", "v1")
     use_v2 = version == "v2" and v2_span + 1 < 128
 
     if use_v2:
@@ -287,8 +422,55 @@ def pack_tokens(vals, lens, offs, *, n_words: int, slots_per_group: int = 4096,
         )(w0_t, c0_t, c1_t, sub_first[:, None, :], nf[:, None, None], zeros)
         return jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(-1)[:n_words]
 
+    if version == "v4":
+        w0_r = w0.reshape(n_tiles, n_sub, T_SUB)       # tokens on lanes
+        sb_col = sub_base[:, :, None]                   # (tiles, n_sub, 1)
+        lw = w0_r - sb_col
+        r0 = lw < 128
+        r0s = lw < 127                                  # spill row: lw+1 < 128
+        c0i = jax.lax.bitcast_convert_type(c0, jnp.int32).reshape(
+            n_tiles, n_sub, T_SUB)
+        c1i = jax.lax.bitcast_convert_type(c1, jnp.int32).reshape(
+            n_tiles, n_sub, T_SUB)
+        lo0, hi0 = c0i & 0xFFFF, (c0i >> 16) & 0xFFFF
+        lo1, hi1 = c1i & 0xFFFF, (c1i >> 16) & 0xFFFF
+        z = jnp.int32(0)
+        cl = jnp.stack([
+            jnp.where(r0, lo0, z), jnp.where(r0, hi0, z),
+            jnp.where(r0, z, lo0), jnp.where(r0, z, hi0),
+            jnp.where(r0s, lo1, z), jnp.where(r0s, hi1, z),
+            jnp.where(r0s, z, lo1), jnp.where(r0s, z, hi1),
+        ], axis=2).astype(jnp.float32)                  # (tiles, n_sub, 8, T_SUB)
+        out = pl.pallas_call(
+            functools.partial(_pack_kernel4, R, n_sub),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, n_sub, T_SUB), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_sub, 8, T_SUB), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_sub), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((rows_total, 128), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((R, 128), jnp.int32),
+                pltpu.VMEM((8, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            input_output_aliases={4: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(lw, cl, sub_base[:, None, :], next_start[:, None, None], zeros)
+        return jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(-1)[:n_words]
+
+    kern = _pack_kernel3 if version == "v3" else _pack_kernel
     out = pl.pallas_call(
-        functools.partial(_pack_kernel, R, n_sub),
+        functools.partial(kern, R, n_sub),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, T_SUB, n_sub), lambda i: (i, 0, 0),

@@ -209,6 +209,27 @@ class TestDeviceEncoder:
         dec = decode_flac(dev, verify_crc=True)
         assert np.array_equal(dec.samples.astype(np.int64), x.astype(np.int64))
 
+    def test_scanned_dispatch_byte_identical(self):
+        """Device-resident input with >= 2 full chunks rides the scanned
+        one-dispatch path (_plan_emit_scan); bytes must equal the host
+        emitter and the per-chunk path exactly."""
+        import jax
+
+        from flac_raster_tpu.codec.device_encoder import encode_flac_device
+
+        rng = np.random.default_rng(11)
+        n = 9 * N + 123  # 2 full 4-frame chunks + partial chunk + tail
+        x = (2000 * np.sin(np.arange(n) / 300.0)
+             + rng.normal(0, 15, n)).astype(np.int16)[:, None]
+        xd = jax.device_put(x.astype(np.int32))
+        dev = encode_flac_device(x, 44100, 16, 5, plan_chunk_frames=4)
+        scan = encode_flac_device(xd, 44100, 16, 5, plan_chunk_frames=4)
+        fast = encode_flac_fast(x, 44100, 16, 5)
+        assert scan == fast
+        assert dev == fast
+        dec = decode_flac(scan, verify_crc=True)
+        assert np.array_equal(dec.samples.astype(np.int64), x.astype(np.int64))
+
 
 class TestNativeRuntime:
     def test_pack_parity_with_numpy(self):
@@ -280,6 +301,49 @@ class TestPallasKernels:
             valid = (zmax >> np.uint32(k)).astype(np.int64) + 1 + k <= TOKEN_CAP
             clamped = np.minimum(zp >> np.uint32(k), 1 << 17).astype(np.int64).sum(-1)
             assert np.array_equal(sums[:, k, :][valid], clamped[valid]), k
+
+    @pytest.mark.parametrize("parts", [8, 32, 64])
+    def test_rice_cost_kernel_hp_parity(self, rng, parts):
+        """Transposed half-partition kernel: post-mask equality with the
+        clamped jnp oracle (byte-identity condition).  Unlike the v1
+        contract, entries below the FULL partition's k0 may be partial
+        half-sums rather than zero -- the planner's validity mask discards
+        exactly those, so only masked equality is asserted."""
+        from flac_raster_tpu.ops.pallas_kernels import (
+            KMAX_KERNEL, TOKEN_CAP, rice_cost_sums_hp,
+        )
+
+        z = rng.integers(0, 1 << 20, (16, N)).astype(np.uint32)
+        z[0] = 0
+        z[1, :64] = np.uint32(0xFFFFFFFF)
+        sums, zmax = rice_cost_sums_hp(jnp.asarray(z), parts=parts, interpret=True)
+        sums, zmax = np.asarray(sums), np.asarray(zmax)
+        zp = z.reshape(16, parts, N // parts)
+        assert np.array_equal(zmax, zp.max(-1))
+        for k in range(KMAX_KERNEL + 1):
+            valid = (zmax >> np.uint32(k)).astype(np.int64) + 1 + k <= TOKEN_CAP
+            clamped = np.minimum(zp >> np.uint32(k), 1 << 17).astype(np.int64).sum(-1)
+            assert np.array_equal(sums[:, k, :][valid], clamped[valid]), k
+
+    def test_planner_identical_with_hp_cost_path(self, rng, monkeypatch):
+        """plan_blocks bytes are independent of the cost-kernel layout."""
+        from flac_raster_tpu.ops import device_codec as dc
+
+        x = np.cumsum(rng.integers(-60, 60, (4, N)), axis=-1).astype(np.int32)
+        monkeypatch.setattr(dc, "FORCE_PALLAS_INTERPRET", True)
+        monkeypatch.setenv("FRTPU_COST", "v1")
+        dc.plan_blocks.clear_cache()
+        ref = {k: np.asarray(v) for k, v in dc.plan_blocks(
+            jnp.asarray(x), blocksize=N, bps=16).items()}
+        monkeypatch.setenv("FRTPU_COST", "hp")
+        dc.plan_blocks.clear_cache()
+        try:
+            out = {k: np.asarray(v) for k, v in dc.plan_blocks(
+                jnp.asarray(x), blocksize=N, bps=16).items()}
+        finally:
+            dc.plan_blocks.clear_cache()
+        for k in ref:
+            assert np.array_equal(ref[k], out[k]), k
 
     def test_gather_windows_dma_values(self, rng):
         """DMA window gather (interpret mode) == host strided slices."""

@@ -173,8 +173,13 @@ def main() -> int:
     def full_tok(it):
         rice_tok, part, k, q, tok_v, tok_l, L = tokmath(it)
         E = _exclusive_cumsum_last(L)
-        base = E + jnp.where(rice_tok, 5 * (part + 1), 0) + 40 * (
-            jax.lax.broadcasted_iota(jnp.int32, (F, 1, 1), 0) * (N // 2)
+        # Synthetic frame spacing must stay UNDER the worst-case bit budget
+        # n_words*32/F (~16.5 bits/token at bps 16): an earlier 20-bit/token
+        # spacing pushed the last fifth of the stream past n_words, so the
+        # pack kernel's window DMAs ran out of bounds and the stage read 4x
+        # slower than the in-graph truth (r5 attribution confusion).
+        base = E + jnp.where(rice_tok, 5 * (part + 1), 0) + 12 * (
+            jax.lax.broadcasted_iota(jnp.int32, (F, 1, 1), 0) * N
         )
         tok_o = jnp.where(rice_tok, base + q, base)
         return tok_v, tok_l, tok_o
@@ -235,7 +240,23 @@ def main() -> int:
         )
         return out["total_bits"]
 
-    add("plan_and_emit (full)", fused)
+    # summing only total_bits lets XLA dead-code the whole word buffer
+    # (header scatter, final add) -- keep the DCE'd row for comparison but
+    # report the honest one too
+    add("plan_and_emit (dce)", fused)
+
+    def fused_words(it):
+        out = plan_and_emit(
+            it["x"], jnp.int32(0), blocksize=N, bps=bps, sr_code=9,
+            bps_code=4, bs_code=12, max_lpc_order=cfg.max_lpc_order,
+            max_partition_order=mpo, use_lpc=cfg.use_lpc,
+            n_words=n_words, apodizations=cfg.apodizations,
+        )
+        return out["total_bits"] + jnp.sum(
+            jax.lax.bitcast_convert_type(out["words"], jnp.int32)
+        )
+
+    add("plan_and_emit (full)", fused_words)
 
     t_base = rows[0][1]
     print(f"{'stage':<26}{'total ms':>10}{'per-iter ms':>13}{'MB/s raw':>10}")

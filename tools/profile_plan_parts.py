@@ -179,6 +179,18 @@ def main() -> int:
 
     add("plan_blocks full", plan_full)
 
+    def plan_full_resid(a):
+        """Summing subframe_bits alone lets XLA dead-code the residual
+        select chain (emit's actual input); force it alive too."""
+        p = plan_blocks(
+            a, blocksize=N, bps=bps, max_lpc_order=cfg.max_lpc_order,
+            max_partition_order=mpo, use_lpc=cfg.use_lpc,
+            apodizations=cfg.apodizations,
+        )
+        return jnp.sum(p["subframe_bits"]) + jnp.sum(p["residual"]) + jnp.sum(p["ks"])
+
+    add("plan_blocks full+resid", plan_full_resid)
+
     t_base = rows[0][1]
     print(f"{'stage':<26}{'total ms':>10}{'per-iter ms':>13}{'MB/s raw':>10}")
     for name, dt in rows:
