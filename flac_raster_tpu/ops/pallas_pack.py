@@ -269,6 +269,60 @@ def _pack_kernel4(R: int, n_sub: int,
     dma.wait()
 
 
+def _pack_kernel5(R: int, n_sub: int,
+                  w0_ref, c0_ref, c1_ref, base_ref, nxt_ref, zeros_ref,
+                  out_ref, window, carry, sem):
+    """v1 with modular masks: 2 compares/sub-tile instead of 4.
+
+    Same aligned 2-row windows and select/add/reduce structure as v1, but
+    the two compares are modular -- m0 keys the token word's lane
+    (lw & 127), m1 the spill word's ((lw+1) & 127) -- and window-ROW
+    membership moves into (T_SUB, 1) column masks (lw < 128 for the token,
+    lw < 127 for its spill, i.e. lw+1 < 128).  No rolls (v3's lesson:
+    Mosaic lane rolls cost ~50 cycles each), no matmuls (v4's lesson:
+    tiny batched dots lower poorly); just two fewer (T_SUB, 128) compares
+    and two fewer adds per sub-tile than v1.
+    """
+    i = pl.program_id(0)
+    s_sup = base_ref[0, 0, 0]
+
+    @pl.when(i == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+
+    window[...] = jnp.zeros_like(window)
+    window[0:1, :] = carry[0:1, :]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    for j in range(n_sub):
+        bj = base_ref[0, 0, j]
+        row_off = (bj - s_sup) >> 7
+        lwj = w0_ref[0, :, j : j + 1] - bj          # (T_SUB, 1) in [0, 226]
+        c0j = c0_ref[0, :, j : j + 1]
+        c1j = c1_ref[0, :, j : j + 1]
+        r0c0 = jnp.where(lwj < 128, c0j, 0)          # column masks (tiny)
+        r1c0 = c0j - r0c0
+        r0c1 = jnp.where(lwj < 127, c1j, 0)
+        r1c1 = c1j - r0c1
+        m0 = (lwj & 127) == lane                     # (T_SUB, 128)
+        m1 = ((lwj + 1) & 127) == lane
+        row0 = (jnp.where(m0, r0c0, 0) + jnp.where(m1, r0c1, 0)).sum(
+            axis=0, keepdims=True)
+        row1 = (jnp.where(m0, r1c0, 0) + jnp.where(m1, r1c1, 0)).sum(
+            axis=0, keepdims=True)
+        window[pl.ds(row_off, 2), :] += jnp.concatenate([row0, row1], axis=0)
+
+    s_nxt = nxt_ref[0, 0, 0]
+    r_c = jnp.clip((s_nxt - s_sup) >> 7, 0, R - 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+    carry[0:1, :] = jnp.sum(
+        jnp.where(row_ids == r_c, window[...], 0), axis=0, keepdims=True
+    )
+    dma = pltpu.make_async_copy(window, out_ref.at[pl.ds(s_sup >> 7, R), :], sem)
+    dma.start()
+    dma.wait()
+
+
 def _pack_kernel(R: int, n_sub: int,
                  w0_ref, c0_ref, c1_ref, base_ref, nxt_ref, zeros_ref,
                  out_ref, window, carry, sem):
@@ -468,7 +522,7 @@ def pack_tokens(vals, lens, offs, *, n_words: int, slots_per_group: int = 4096,
         )(lw, cl, sub_base[:, None, :], next_start[:, None, None], zeros)
         return jax.lax.bitcast_convert_type(out, jnp.uint32).reshape(-1)[:n_words]
 
-    kern = _pack_kernel3 if version == "v3" else _pack_kernel
+    kern = {"v3": _pack_kernel3, "v5": _pack_kernel5}.get(version, _pack_kernel)
     out = pl.pallas_call(
         functools.partial(kern, R, n_sub),
         grid=(n_tiles,),

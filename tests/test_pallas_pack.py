@@ -44,7 +44,7 @@ def _random_stream(rng, nt, slots, max_len=27, dead_frac=0.15):
     return vals, lens, offs.astype(np.int32), n_words
 
 
-@pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4"])
+@pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4", "v5"])
 @pytest.mark.parametrize(
     "nt,slots,seed",
     [
@@ -89,7 +89,7 @@ def test_pack_all_dead_tokens():
     assert not out.any()
 
 
-@pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4"])
+@pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4", "v5"])
 def test_pack_dense_one_bit_tokens(version):
     """Worst-case density: adjacent 1-bit tokens (32 per word)."""
     nt = 4096
@@ -113,7 +113,7 @@ def test_pack_dense_one_bit_tokens(version):
     assert np.array_equal(ref, out)
 
 
-@pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4"])
+@pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4", "v5"])
 def test_pack_max_pitch_stream(version):
     """Amortized-worst-case pitch: back-to-back 32-bit spans (the planner
     cap's extreme) plus a GAP_BITS crossing per slot group -- pins the v2

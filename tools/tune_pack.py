@@ -63,8 +63,18 @@ def main() -> int:
 
     base = (pp.T_SUPER, pp.T_SUB, pp.W_SUB_ROWS)
     try:
-        for t_super in (2048, 4096, 8192):
-            for t_sub in (32, 64, 128):
+        import os
+
+        sup_list = tuple(
+            int(s) for s in os.environ.get(
+                "FRTPU_TUNE_SUPERS", "2048,4096,8192").split(",")
+        )
+        sub_list = tuple(
+            int(s) for s in os.environ.get(
+                "FRTPU_TUNE_SUBS", "32,64,128").split(",")
+        )
+        for t_super in sup_list:
+            for t_sub in sub_list:
                 rows = pp._sub_rows(t_sub, 4096)
                 pp.T_SUPER, pp.T_SUB, pp.W_SUB_ROWS = t_super, t_sub, rows
                 pp.pack_tokens.clear_cache()
