@@ -186,7 +186,7 @@ def stage_breakdown(samples: np.ndarray) -> dict:
         fbs.extend(fb[j] for j in range(len(g)))
     t_device = time.perf_counter() - t0
     outs = [
-        {"words": o["words"][j], "frame_bits": o["frame_bits"][j]}
+        (o["words"], j)  # stacked words + row: sliced in ONE op at pull time
         for g, o in zip(groups, gouts)
         for j in range(len(g))
     ]
@@ -195,11 +195,11 @@ def stage_breakdown(samples: np.ndarray) -> dict:
     t0 = time.perf_counter()
     pulled = []
     comp_bytes = 0
-    for o, fb in zip(outs, fbs):
+    for (wstack, j), fb in zip(outs, fbs):
         used_words = (int(fb.sum()) + 31) // 32
         used_pages = (used_words + _PAGE_WORDS - 1) // _PAGE_WORDS
-        p2 = _pull_pages(used_pages, o["words"].shape[0] // _PAGE_WORDS)
-        w = np.asarray(o["words"][: p2 * _PAGE_WORDS])
+        p2 = _pull_pages(used_pages, wstack.shape[-1] // _PAGE_WORDS)
+        w = np.asarray(wstack[j, : p2 * _PAGE_WORDS])
         pulled.append((w, fb))
         comp_bytes += used_words * 4
     t_readback = time.perf_counter() - t0

@@ -327,11 +327,23 @@ def encode_flac_device(
     def drain(c0: int, c1: int, out: dict) -> None:
         """Sync the chunk's per-frame bit counts (tiny pull; blocks until
         its compute lands), download the used word prefix (the ONE big
-        tunnel read), then byteswap + CRC-patch + assemble on host."""
+        tunnel read), then byteswap + CRC-patch + assemble on host.
+
+        Scan-batched chunks arrive as STACKED outputs plus a row index
+        (``out["row"]``); the row and the prefix slice are taken in one
+        basic-indexing expression so each pull is a single device op --
+        ``stacked[j]`` alone would dispatch a full-chunk copy (~20 ms of
+        relay client work) before the real slice.
+        """
         tame_device_client_threads()  # client threads spawn lazily
         t0 = time.perf_counter() if debug else 0.0
         Fc = c1 - c0
-        frame_bits = np.asarray(out["frame_bits"][:Fc])
+        j = out.get("row")
+
+        def sel(a, *sl):
+            return a[(j, *sl)] if j is not None else a[sl]
+
+        frame_bits = np.asarray(sel(out["frame_bits"], slice(0, Fc)))
         # padded frames emit past the real frames' total bits; truncate there
         total_bits = int(frame_bits.sum())
         used_words = (total_bits + 31) // 32
@@ -339,10 +351,10 @@ def encode_flac_device(
         # steps above the power of two BELOW used_pages -> <= 25% overfetch,
         # O(log n) distinct compiled slice shapes)
         used_pages = (used_words + _PAGE_WORDS - 1) // _PAGE_WORDS
-        n_pages = out["words"].shape[0] // _PAGE_WORDS
+        n_pages = out["words"].shape[-1] // _PAGE_WORDS
         p2 = _pull_pages(used_pages, n_pages)
         t1 = time.perf_counter() if debug else 0.0
-        words = np.asarray(out["words"][: p2 * _PAGE_WORDS])
+        words = np.asarray(sel(out["words"], slice(0, p2 * _PAGE_WORDS)))
         if debug:
             logger.debug(
                 "drain f%d..%d: compute-sync %.3fs, pull %.1f MB %.3fs",
@@ -358,7 +370,9 @@ def encode_flac_device(
         _patch_crcs(buf, frame_bits.astype(np.int64), hdr_bits.astype(np.int64))
         chunks.append(buf.tobytes())
         sizes.append((frame_bits >> 3).astype(np.int64))
-        subs.append(np.asarray(out["subframe_bits"][:Fc, :-1]).astype(np.int64))
+        subs.append(np.asarray(
+            sel(out["subframe_bits"], slice(0, Fc), slice(0, -1))
+        ).astype(np.int64))
 
     # FRTPU_PIPELINE=duplex (default) runs the forced uploads on a worker
     # thread one chunk ahead, so upload(i+1) and download(i-1) share the
@@ -406,11 +420,7 @@ def encode_flac_device(
                     zero_point=zero_point, **static_kw,
                 )
                 for j, (c0, c1) in enumerate(grp):
-                    o = {
-                        "words": outs["words"][j],
-                        "frame_bits": outs["frame_bits"][j],
-                        "subframe_bits": outs["subframe_bits"][j],
-                    }
+                    o = dict(outs, row=j)  # stacked outputs + row index
                     if pending is not None:
                         drain(*pending)
                     pending = (c0, c1, o)

@@ -230,6 +230,25 @@ class TestDeviceEncoder:
         dec = decode_flac(scan, verify_crc=True)
         assert np.array_equal(dec.samples.astype(np.int64), x.astype(np.int64))
 
+    @pytest.mark.parametrize("cap", ["1", "2"])
+    def test_scanned_dispatch_group_caps(self, cap, monkeypatch):
+        """FRTPU_DISPATCH_CHUNKS grouping edges: cap=1 forces the K==1
+        single-dispatch branch for every full chunk; cap=2 over 3 full
+        chunks exercises a full group plus a 1-chunk remainder group."""
+        import jax
+
+        from flac_raster_tpu.codec.device_encoder import encode_flac_device
+
+        monkeypatch.setenv("FRTPU_DISPATCH_CHUNKS", cap)
+        rng = np.random.default_rng(5)
+        n = 13 * N  # 3 full 4-frame chunks + one 1-frame partial chunk
+        x = (1500 * np.cos(np.arange(n) / 250.0)
+             + rng.normal(0, 10, n)).astype(np.int16)[:, None]
+        xd = jax.device_put(x.astype(np.int32))
+        scan = encode_flac_device(xd, 44100, 16, 5, plan_chunk_frames=4)
+        fast = encode_flac_fast(x, 44100, 16, 5)
+        assert scan == fast
+
 
 class TestNativeRuntime:
     def test_pack_parity_with_numpy(self):
